@@ -1,0 +1,421 @@
+"""SnapshotTable — a self-contained, Iceberg-style copy-on-write table format.
+
+The north_star sink is an Iceberg table with snapshot transactions and
+MERGE upserts. The sandbox image has no Iceberg runtime jar, so this module
+implements the same contract directly over parquet + JSON manifests; the
+design deliberately mirrors Iceberg's Hadoop catalog so the engine code
+above it is backend-agnostic:
+
+- **Snapshots**: every commit writes an immutable JSON manifest
+  ``snapshots/v%08d.json`` listing the table's data files, then flips
+  ``version-hint.txt`` (Iceberg HadoopTableOperations does exactly this).
+  Manifest creation uses ``open(..., 'x')`` — optimistic concurrency: a
+  racing writer loses and must retry on the new base snapshot.
+- **Copy-on-write MERGE**: data files are hash-bucketed on the first key
+  column (``bucket(N, conv_id)`` in Iceberg partition-spec terms). A merge
+  only reads & rewrites the buckets its batch touches — work per epoch is
+  proportional to touched buckets, not table size. At 100 TB you raise
+  ``num_buckets`` (e.g. 4096) so each bucket is a few GB; unaffected
+  buckets are carried forward by reference in the manifest.
+- **Exactly-once epoch fencing**: the manifest carries
+  ``epochs: {query_id: last_committed_epoch}`` updated *in the same atomic
+  commit* as the data. A replayed ``foreachBatch`` epoch (after a crash
+  between sink-commit and checkpoint-commit) is detected and skipped —
+  the Iceberg equivalent is a snapshot summary property. Reference
+  analogue: the reference has *no* exactly-once story (full wipe per run,
+  ``cmd/main.go:165-177``); this is the capability the graft adds.
+- **Schema evolution**: each manifest records the current schema plus a
+  ``schemas`` history; every data file records which schema it was written
+  with, and reads align each file group (missing columns → NULL, widened
+  ints → cast up), so old files remain readable after ADD COLUMN / widening —
+  Iceberg's reader-side schema resolution.
+
+Reference analogues: the Neo4j sink (S9/S10,
+``internal/infrastructure/persistence/neo4j/repository.go:46-95``) wrote
+one Cypher statement per node/edge; here a whole micro-batch commits in
+one snapshot. The delete-then-create upsert tick
+(``simple_metrics_injector.go:170-213``) becomes the MERGE arms
+(matched+delete → drop, matched → replace, not-matched → insert).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql_graph_visualizer_spark.operators.compaction import compact_lww
+from sql_graph_visualizer_spark.schema_evolution import align_to_schema, evolve_schema
+
+_SNAP_DIR = "snapshots"
+_HINT = "version-hint.txt"
+_DATA_DIR = "data"
+
+# System columns (Iceberg row-lineage analogue). `_seq` is the source LSN
+# of the row's winning version; `_deleted` marks a persisted tombstone.
+# Tombstones must be kept (until expired past a replay horizon): a delete
+# applied in epoch k must still beat a stale insert arriving in epoch k+1
+# — Structured Streaming's file source does not guarantee LSN order across
+# micro-batches, and crash-replay re-delivers events.
+_SEQ = "_seq"
+_DELETED = "_deleted"
+
+
+def _physical(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields)
+        + [T.StructField(_SEQ, T.LongType()), T.StructField(_DELETED, T.BooleanType())]
+    )
+
+
+@dataclass
+class MergeStats:
+    """Per-epoch lineage record (FIXTURES.md §5 `lineage_metrics`)."""
+
+    epoch_id: int
+    rows_in: int
+    upserts: int
+    deletes: int
+    buckets_touched: int
+    skipped: bool
+    duration_ms: int
+    snapshot_version: int
+
+    def as_dict(self) -> dict[str, Any]:
+        return self.__dict__.copy()
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_col: str | None = None,
+        num_buckets: int = 32,
+    ) -> "SnapshotTable":
+        os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        t = cls(spark, path)
+        manifest = {
+            "version": 1,
+            "schema_id": 0,
+            "schemas": {"0": schema.jsonValue()},
+            "key_cols": key_cols,
+            "bucket_col": bucket_col or key_cols[0],
+            "num_buckets": num_buckets,
+            "files": {},  # bucket(str) -> [{"path": rel, "schema_id": int}]
+            "epochs": {},
+            "summary": {"operation": "create"},
+            "parent": None,
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, _HINT))
+
+    # ----------------------------------------------------------- manifests
+
+    def _current_version(self) -> int:
+        with open(os.path.join(self.path, _HINT)) as f:
+            return int(f.read().strip())
+
+    def manifest(self) -> dict[str, Any]:
+        v = self._current_version()
+        with open(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict[str, Any]) -> None:
+        """Atomic commit: O_EXCL manifest create (optimistic lock), then
+        atomic rename of the version hint."""
+        v = manifest["version"]
+        mpath = os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")
+        with open(mpath, "x") as f:  # raises FileExistsError on a lost race
+            json.dump(manifest, f)
+        tmp = os.path.join(self.path, f"{_HINT}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, _HINT))
+
+    def schema(self) -> T.StructType:
+        m = self.manifest()
+        return T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+
+    def last_committed_epoch(self, query_id: str) -> int:
+        return int(self.manifest()["epochs"].get(query_id, -1))
+
+    # --------------------------------------------------------------- reads
+
+    def _bucket_expr(self, m: dict[str, Any]) -> Column:
+        return F.pmod(F.xxhash64(F.col(m["bucket_col"])), F.lit(m["num_buckets"]))
+
+    def _read_files(self, m: dict[str, Any], entries: list[dict[str, Any]]) -> DataFrame:
+        """Read a set of file entries, aligning every historical schema to
+        the table's current schema (reader-side evolution)."""
+        target = _physical(T.StructType.fromJson(m["schemas"][str(m["schema_id"])]))
+        if not entries:
+            return self.spark.createDataFrame([], target)
+        by_schema: dict[int, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e["schema_id"], []).append(os.path.join(self.path, e["path"]))
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            file_schema = _physical(T.StructType.fromJson(m["schemas"][str(sid)]))
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            parts.append(align_to_schema(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        manifest: dict[str, Any] | None = None,
+        system: bool = False,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned — the Iceberg
+        partition-pruning analogue used by MERGE). ``manifest`` lets an
+        in-flight commit read against its own (evolved) schema;
+        ``system=True`` exposes tombstones and the ``_seq``/``_deleted``
+        system columns (the MERGE path needs them)."""
+        m = manifest if manifest is not None else self.manifest()
+        entries: list[dict[str, Any]] = []
+        for b, fs in m["files"].items():
+            if buckets is None or int(b) in buckets:
+                entries.extend(fs)
+        df = self._read_files(m, entries)
+        if system:
+            return df
+        return df.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_SEQ, _DELETED)
+
+    # -------------------------------------------------------------- writes
+
+    def _write_data(self, df: DataFrame, m: dict[str, Any]) -> dict[str, list[dict[str, Any]]]:
+        """Write rows bucket-partitioned under a fresh commit dir; returns
+        bucket -> new file entries."""
+        token = uuid.uuid4().hex[:12]
+        commit_rel = os.path.join(_DATA_DIR, f"commit-{token}")
+        commit_abs = os.path.join(self.path, commit_rel)
+        (
+            df.withColumn("__b", self._bucket_expr(m))
+            .repartition(F.col("__b"))
+            .write.partitionBy("__b")
+            .mode("overwrite")
+            .parquet(commit_abs)
+        )
+        out: dict[str, list[dict[str, Any]]] = {}
+        for d in sorted(os.listdir(commit_abs)):
+            if not d.startswith("__b="):
+                continue
+            b = str(int(d.split("=")[1]))
+            for fn in sorted(os.listdir(os.path.join(commit_abs, d))):
+                if fn.endswith(".parquet"):
+                    out.setdefault(b, []).append(
+                        {"path": os.path.join(commit_rel, d, fn), "schema_id": m["schema_id"]}
+                    )
+        return out
+
+    def _evolve_if_needed(self, m: dict[str, Any], batch_schema: T.StructType) -> dict[str, Any]:
+        """Merge-schema resolver hook: if the batch carries new/widened
+        columns, register an evolved schema in the (about-to-commit)
+        manifest. Payload-only: key/meta columns never change type."""
+        current = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        evolved, changed = evolve_schema(current, batch_schema)
+        if changed:
+            new_id = max(int(k) for k in m["schemas"]) + 1
+            m["schemas"][str(new_id)] = evolved.jsonValue()
+            m["schema_id"] = new_id
+        return m
+
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        epoch_id: int = -1,
+        query_id: str = "default",
+        op_col: str = "op",
+        order_col: str = "seq",
+        evolve: bool = True,
+        meta_cols: tuple[str, ...] = ("schema_ver",),
+    ) -> MergeStats:
+        """MERGE INTO table USING compact(batch) ON key:
+
+        - WHEN MATCHED AND op='delete' THEN DELETE
+        - WHEN MATCHED THEN UPDATE (full-row replace — the reference's LWW
+          property overwrite, ``graph_aggregate.go:46-51``)
+        - WHEN NOT MATCHED AND op!='delete' THEN INSERT
+
+        Copy-on-write over touched buckets only; exactly-once via epoch
+        fencing; schema evolution applied before the data commit.
+        """
+        t0 = time.monotonic()
+        m = self.manifest()
+        if epoch_id >= 0 and int(m["epochs"].get(query_id, -1)) >= epoch_id:
+            return MergeStats(epoch_id, 0, 0, 0, 0, True, 0, m["version"])
+
+        # CDC meta columns never become table columns
+        skip = {op_col, order_col, *meta_cols}
+        if evolve:
+            payload_schema = T.StructType([f for f in batch.schema.fields if f.name not in skip])
+            m = self._evolve_if_needed(m, payload_schema)
+        table_schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        key_cols = m["key_cols"]
+
+        aligned = align_to_schema(batch, table_schema, keep_extra=[op_col, order_col])
+        compacted = compact_lww(aligned, tuple(key_cols), order_col).persist()
+        try:
+            # one pass over the (small) compacted batch for fan-out stats
+            agg = compacted.select(
+                F.count("*").alias("n"),
+                F.sum((F.col(op_col) == "delete").cast("long")).alias("d"),
+                F.collect_set(self._bucket_expr(m)).alias("bs"),
+            ).collect()[0]
+            rows_in, deletes = int(agg["n"]), int(agg["d"] or 0)
+            affected = sorted(int(b) for b in agg["bs"])
+            if rows_in == 0:
+                m["version"] += 1
+                m["parent"] = m["version"] - 1
+                if epoch_id >= 0:
+                    m["epochs"][query_id] = epoch_id
+                m["summary"] = {"operation": "merge", "epoch": epoch_id, "rows": 0}
+                self._write_manifest(m)
+                return MergeStats(epoch_id, 0, 0, 0, 0, False, int((time.monotonic() - t0) * 1000), m["version"])
+
+            # Versioned MERGE: re-express current rows (incl. persisted
+            # tombstones) as change events carrying their committed _seq,
+            # union with the batch, and let one more LWW compaction pick
+            # the max-seq winner per key. Equivalent to
+            #   WHEN MATCHED AND src.seq >= tgt._seq AND op='delete' THEN DELETE
+            #   WHEN MATCHED AND src.seq >= tgt._seq THEN UPDATE
+            #   WHEN NOT MATCHED AND op!='delete' THEN INSERT
+            # but correct under out-of-order epochs and event re-delivery
+            # (a stale version can never overwrite a newer one).
+            payload = [F.col(f.name) for f in table_schema.fields]
+            existing = self.read(buckets=affected, manifest=m, system=True)
+            existing_events = existing.select(
+                *payload,
+                F.col(_SEQ).alias(order_col),
+                F.when(F.col(_DELETED), F.lit("delete")).otherwise(F.lit("update")).alias(op_col),
+            )
+            batch_events = compacted.select(*payload, F.col(order_col), F.col(op_col))
+            winners = compact_lww(
+                existing_events.unionByName(batch_events), tuple(key_cols), order_col
+            )
+            result = winners.select(
+                *payload,
+                F.col(order_col).cast("long").alias(_SEQ),
+                (F.col(op_col) == "delete").alias(_DELETED),
+            )
+
+            new_files = self._write_data(result, m)
+            files = {b: fs for b, fs in m["files"].items() if int(b) not in set(affected)}
+            for b, fs in new_files.items():
+                files[b] = fs
+            m["files"] = files
+            m["version"] += 1
+            m["parent"] = m["version"] - 1
+            if epoch_id >= 0:
+                m["epochs"][query_id] = epoch_id
+            m["summary"] = {
+                "operation": "merge",
+                "epoch": epoch_id,
+                "rows": rows_in,
+                "deletes": deletes,
+                "buckets": len(affected),
+            }
+            self._write_manifest(m)
+            return MergeStats(
+                epoch_id,
+                rows_in,
+                rows_in - deletes,
+                deletes,
+                len(affected),
+                False,
+                int((time.monotonic() - t0) * 1000),
+                m["version"],
+            )
+        finally:
+            compacted.unpersist()
+
+    def append(self, df: DataFrame, epoch_id: int = -1, query_id: str = "default") -> int:
+        """Append-only commit (used by the lineage/metrics table)."""
+        m = self.manifest()
+        if epoch_id >= 0 and int(m["epochs"].get(query_id, -1)) >= epoch_id:
+            return m["version"]
+        table_schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        rows = align_to_schema(df, table_schema).withColumns(
+            {_SEQ: F.lit(max(epoch_id, 0)).cast("long"), _DELETED: F.lit(False)}
+        )
+        new_files = self._write_data(rows, m)
+        for b, fs in new_files.items():
+            m["files"].setdefault(b, []).extend(fs)
+        m["version"] += 1
+        m["parent"] = m["version"] - 1
+        if epoch_id >= 0:
+            m["epochs"][query_id] = epoch_id
+        m["summary"] = {"operation": "append"}
+        self._write_manifest(m)
+        return m["version"]
+
+    def expire_tombstones(self, older_than_seq: int) -> int:
+        """Physically drop tombstones whose ``_seq`` is below a replay
+        horizon (no event with a smaller LSN can still arrive). The
+        Kafka-compaction / Cassandra gc_grace analogue; rewrites every
+        bucket, so this is a maintenance job, not a per-epoch step."""
+        m = self.manifest()
+        df = self.read(manifest=m, system=True).filter(
+            ~(F.coalesce(F.col(_DELETED), F.lit(False)) & (F.col(_SEQ) < older_than_seq))
+        )
+        new_files = self._write_data(df, m)
+        m["files"] = new_files
+        m["version"] += 1
+        m["parent"] = m["version"] - 1
+        m["summary"] = {"operation": "expire-tombstones", "horizon": older_than_seq}
+        self._write_manifest(m)
+        return m["version"]
+
+    # -------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Drop old manifests and any commit dirs no kept snapshot
+        references (Iceberg expire_snapshots + remove_orphan_files)."""
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        live_commits: set[str] = set()
+        for v in keep:
+            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
+                mm = json.load(f)
+            for fs in mm["files"].values():
+                for e in fs:
+                    live_commits.add(e["path"].split(os.sep)[1])
+        removed = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
+                removed += 1
+        data_dir = os.path.join(self.path, _DATA_DIR)
+        for d in os.listdir(data_dir):
+            if d.startswith("commit-") and d not in live_commits:
+                shutil.rmtree(os.path.join(data_dir, d))
+        return removed

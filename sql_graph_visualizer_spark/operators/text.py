@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs at all), so
+they run at scan speed and push no data to Python. Reference analogue:
+the string/regex scalar family (SURVEY.md §2.8 — e.g. query-type
+classification by prefix ladder, ``performance_schema_adapter.go:718-742``,
+and the 10k-char truncation, ``transform_service.go:215,230-234``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "es": ("el", "que", "los"),
+    "fr": ("le", "et", "les"),
+    "zh": ("的", "了", "是"),
+}
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+# BPE-ish tokenization: letter runs, digit runs, single non-alnum marks
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Count BPE-ish tokens via regexp_extract_all (vectorized)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[.,!?;:'\"()\[\]-]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - F.length(stripped)) / F.length(c)
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are (English) stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(sw / n)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality in [0,1]: length, punctuation sanity, stopword
+    presence — the hotspot-score ladder shape of the reference
+    (``performance_analyzer.go:816-841``: clamped weighted components)."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_component = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    return F.round(0.4 * len_component + 0.3 * punct_component + 0.3 * stop_component, 6)
+
+
+def detect_language(col: Column | str) -> Column:
+    """Marker-word vote: language with the most distinct marker hits;
+    deterministic tie-break by language code; 'und' when nothing hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hit_terms = [
+            F.when(
+                padded.contains(f" {m} ") if lang != "zh" else F.lower(c).contains(m), 1
+            ).otherwise(0)
+            for m in markers
+        ]
+        hits = hit_terms[0]
+        for t in hit_terms[1:]:
+            hits = hits + t
+        scores.append(F.struct(hits.cast("int").alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Normalization fingerprint: md5 of whitespace-collapsed lowercase
+    text — the exact-dedup key and a cheap document identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def truncate_text(col: Column | str, max_len: int = 10_000) -> Column:
+    """The reference's Neo4j-safety truncation (transform_service.go:215),
+    kept configurable and OFF by default in the CDC path (SURVEY §7.3 —
+    it would break exact per-turn text equality)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, max_len)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass document profile: all metrics as extra columns."""
+    c = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_tokens_ws": whitespace_token_count(c),
+            "n_tokens_bpe": token_count(c),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "quality": quality_score(c),
+            "lang_pred": detect_language(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+The reference wires its engine at ``cmd/main.go:50-219`` (connect MySQL/PG,
+connect Neo4j, start servers). Our analogue is one SparkSession with the
+configuration that the rest of the engine assumes:
+
+- UTC session timezone (so parquet timestamps compare exactly against the
+  DuckDB oracle),
+- Arrow execution enabled (all Python UDFs in this repo are pandas/Arrow
+  vectorized — per-row Python is banned),
+- AQE on, including skew-join handling (the explicit salting in
+  ``operators/skew.py`` complements it for pathological keys),
+- shuffle partitions sized to the local core count rather than the 200
+  default (on a real cluster this is set per-job via spark-submit conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sql-graph-visualizer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the same code runs unchanged under ``spark-submit --master yarn``
+    on a real cluster, where ``master`` stays None and the cluster
+    manager decides.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] / cluster masters → env cpu count
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = int(inner) if inner.isdigit() else cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # deterministic float/timestamp behaviour for the oracle compare
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by bench.py to switch parallelism)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,72 @@
+"""Per-epoch lineage / throughput metrics, persisted at each checkpoint.
+
+Reference analogue: the realtime metrics tick — QPS = Σ count_star /
+interval (``realtime_performance_monitor.go:406-419``) and the graph
+metadata counters (``graph_performance_mapper.go:335-342``), which the
+reference pushes to WebSocket clients (S16). Here metrics are first-class
+data: an append-only lake table (FIXTURES.md §5 ``lineage_metrics``
+schema), written with the same epoch fencing as the data so a replayed
+epoch does not double-count.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from sql_graph_visualizer_spark.lake.snapshot_table import MergeStats, SnapshotTable
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("epoch_id", T.LongType()),
+        T.StructField("rows_in", T.LongType()),
+        T.StructField("upserts", T.LongType()),
+        T.StructField("deletes", T.LongType()),
+        T.StructField("buckets_touched", T.IntegerType()),
+        T.StructField("skipped", T.BooleanType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("events_per_sec", T.DoubleType()),
+        T.StructField("snapshot_version", T.LongType()),
+        T.StructField("committed_at_ms", T.LongType()),
+    ]
+)
+
+
+class LineageRecorder:
+    """Appends one row per epoch to a metrics SnapshotTable."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        if SnapshotTable.exists(path):
+            self.table = SnapshotTable(spark, path)
+        else:
+            self.table = SnapshotTable.create(
+                spark, path, LINEAGE_SCHEMA, key_cols=["query_id", "epoch_id"], num_buckets=4
+            )
+
+    def record(self, st: MergeStats, query_id: str) -> None:
+        eps = (st.rows_in / (st.duration_ms / 1000.0)) if st.duration_ms > 0 else 0.0
+        row = [
+            (
+                query_id,
+                int(st.epoch_id),
+                int(st.rows_in),
+                int(st.upserts),
+                int(st.deletes),
+                int(st.buckets_touched),
+                bool(st.skipped),
+                int(st.duration_ms),
+                float(eps),
+                int(st.snapshot_version),
+                int(time.time() * 1000),
+            )
+        ]
+        df = self.spark.createDataFrame(row, LINEAGE_SCHEMA)
+        # fence on the same (query, epoch) so crash-replay can't double-count
+        self.table.append(df, epoch_id=int(st.epoch_id), query_id=f"lineage:{query_id}")
+
+    def read(self):
+        return self.table.read()

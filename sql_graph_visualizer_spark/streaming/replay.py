@@ -1,0 +1,104 @@
+"""CDC replay: change-event stream → exactly-once MERGE into the lake table.
+
+Shape of the reference's monitoring loop (SURVEY.md §3.3):
+``tick(UpdateInterval) → collect changes → map onto graph → upsert``
+(``realtime_performance_monitor.go:287-332``,
+``simple_metrics_injector.go:89-213``) — restated as Structured
+Streaming: ``readStream → foreachBatch(merge_upsert)``.
+
+Exactly-once: ``foreachBatch`` is at-least-once (an epoch re-runs if the
+job dies between the sink write and the checkpoint commit). The sink is
+made idempotent by epoch fencing: ``SnapshotTable.merge_upsert`` records
+``(query_id, epoch_id)`` in the same atomic manifest commit as the data,
+and skips any epoch at-or-below the last committed one. Replay after a
+crash therefore converges to exactly-once table state.
+
+Resumability: the Structured Streaming checkpoint (source offsets) lives
+in ``checkpoint_dir``; restarting with the same dir resumes from the next
+unread file. ``availableNow`` gives bounded replay (drain the log, then
+stop) — the mode bench.py and the tests use.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_graph_visualizer_spark.lake.snapshot_table import MergeStats, SnapshotTable
+from sql_graph_visualizer_spark.operators.skew import compact_lww_salted
+from sql_graph_visualizer_spark.sources.cdc_gen import read_cdc_stream
+from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+
+
+def replay_stream(
+    spark: SparkSession,
+    log_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    query_id: str = "cdc-replay",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    lineage: LineageRecorder | None = None,
+    hot_threshold: int = 100_000,
+    on_batch: Callable[[DataFrame, int, MergeStats], None] | None = None,
+) -> list[MergeStats]:
+    """Replay a file-backed CDC log into ``table``; returns per-epoch stats."""
+    stats: list[MergeStats] = []
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        # salted two-level pre-compaction tames hot-conversation storms
+        compacted = compact_lww_salted(batch, hot_threshold=hot_threshold)
+        st = table.merge_upsert(compacted, epoch_id=int(epoch_id), query_id=query_id)
+        st.duration_ms = int((time.monotonic() - t0) * 1000)
+        stats.append(st)
+        if lineage is not None:
+            lineage.record(st, query_id=query_id)
+        if on_batch is not None:
+            on_batch(batch, int(epoch_id), st)
+
+    stream = read_cdc_stream(spark, log_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    q.awaitTermination() if available_now else None
+    return stats
+
+
+def replay_batch(
+    log: DataFrame,
+    table: SnapshotTable,
+    epochs: int = 1,
+    query_id: str = "cdc-replay-batch",
+    order_col: str = "seq",
+    hot_threshold: int = 100_000,
+    lineage: LineageRecorder | None = None,
+) -> list[MergeStats]:
+    """Bounded batch replay: split the log into ``epochs`` contiguous seq
+    ranges and merge them in order — the deterministic, driver-friendly
+    twin of ``replay_stream`` (same sink path, same fencing).
+    """
+    bounds = log.selectExpr(f"min({order_col}) lo", f"max({order_col}) hi").collect()[0]
+    if bounds["lo"] is None:
+        return []
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, (hi - lo + 1 + epochs - 1) // epochs)
+    stats: list[MergeStats] = []
+    for e in range(epochs):
+        chunk = log.filter(
+            (log[order_col] >= lo + e * span) & (log[order_col] < lo + (e + 1) * span)
+        )
+        compacted = compact_lww_salted(chunk, hot_threshold=hot_threshold)
+        st = table.merge_upsert(compacted, epoch_id=e, query_id=query_id)
+        stats.append(st)
+        if lineage is not None:
+            lineage.record(st, query_id=query_id)
+    return stats

@@ -1,0 +1,14 @@
+"""Shared Spark session for tests: small local parallelism, UTC, Arrow."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_graph_visualizer_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,136 @@
+"""SnapshotTable: MERGE semantics, epoch fencing, bucket pruning,
+schema evolution, snapshot expiry."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
+from sql_graph_visualizer_spark.operators.compaction import final_state
+from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _table(spark, tmp_path, name="t", buckets=8):
+    return SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), name), SCHEMA, KEYS, num_buckets=buckets
+    )
+
+
+def _sorted_state(t):
+    return [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.read().orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 400, num_convs=5, turns_per_conv=6)
+    st = t.merge_upsert(log)
+    assert not st.skipped and st.rows_in > 0
+    expected = final_state(log, payload_cols=("text",))
+    got = t.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_incremental_merge_equals_batch_final_state(spark, tmp_path):
+    """The north-rule correctness contract: replaying the log in epochs
+    equals the batch-computed final state (reference wipe-and-rebuild
+    semantics, cmd/main.go:165-177)."""
+    log = gen_cdc_log(spark, 2000, num_convs=12, turns_per_conv=8)
+    t = _table(spark, tmp_path)
+    for e in range(4):
+        chunk = log.filter((F.col("seq") >= e * 500) & (F.col("seq") < (e + 1) * 500))
+        t.merge_upsert(chunk, epoch_id=e, query_id="q")
+    expected = final_state(log, payload_cols=("role", "text", "tool"))
+    got = t.read().select("conv_id", "turn_idx", "role", "text", "tool")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_epoch_fencing_skips_replayed_epoch(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 300, num_convs=4, turns_per_conv=5)
+    first = log.filter(F.col("seq") < 150)
+    t.merge_upsert(first, epoch_id=0, query_id="q")
+    before = _sorted_state(t)
+    # crash-replay of epoch 0 with different (stale) content must be a no-op
+    st = t.merge_upsert(log.limit(10), epoch_id=0, query_id="q")
+    assert st.skipped
+    assert _sorted_state(t) == before
+    # a different query_id is fenced independently
+    st2 = t.merge_upsert(log.filter(F.col("seq") >= 150), epoch_id=0, query_id="q2")
+    assert not st2.skipped
+
+
+def test_merge_only_rewrites_touched_buckets(spark, tmp_path):
+    t = _table(spark, tmp_path, buckets=16)
+    log = gen_cdc_log(spark, 1000, num_convs=30, turns_per_conv=6)
+    t.merge_upsert(log, epoch_id=0, query_id="q")
+    m1 = t.manifest()
+    one_conv = log.filter(F.col("conv_id") == log.select("conv_id").first()[0]).limit(5)
+    st = t.merge_upsert(one_conv, epoch_id=1, query_id="q")
+    assert st.buckets_touched == 1
+    m2 = t.manifest()
+    untouched = [b for b in m1["files"] if m1["files"][b] == m2["files"].get(b)]
+    assert len(untouched) >= len(m1["files"]) - 1  # all but the touched bucket carried over
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 400, num_convs=5, schema_v2_from=200)
+    v1 = log.filter(F.col("schema_ver") == 1).drop("model")
+    v2 = log.filter(F.col("schema_ver") == 2)
+    t.merge_upsert(v1, epoch_id=0, query_id="q")
+    assert "model" not in [f.name for f in t.schema().fields]
+    t.merge_upsert(v2, epoch_id=1, query_id="q")
+    assert "model" in [f.name for f in t.schema().fields]
+    got = t.read()
+    # pre-evolution rows read back with model NULL; v2 winners carry model
+    assert got.filter(F.col("model").isNotNull()).count() > 0
+    expected = final_state(log, payload_cols=("text", "model"))
+    assert sorted(map(tuple, got.select("conv_id", "turn_idx", "text", "model").collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_schema_evolution_widen_int(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 200, num_convs=4)
+    t.merge_upsert(log.filter(F.col("seq") < 100), epoch_id=0, query_id="q")
+    widened = log.filter(F.col("seq") >= 100).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    t.merge_upsert(widened, epoch_id=1, query_id="q")
+    field = {f.name: f.dataType for f in t.schema().fields}["turn_idx"]
+    assert field == T.LongType()
+    expected = final_state(log, payload_cols=("text",)).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    got = t.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.select("conv_id", "turn_idx", "text").collect()))
+
+
+def test_expire_snapshots_keeps_current_state(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 600, num_convs=6)
+    for e in range(3):
+        t.merge_upsert(log.filter(F.pmod(F.col("seq"), 3) == e), epoch_id=e, query_id="q")
+    before = _sorted_state(t)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 2
+    assert _sorted_state(t) == before

@@ -1,0 +1,124 @@
+"""Streaming replay: end-to-end equality, checkpoint resume, exactly-once
+fencing, out-of-order epochs, duplicate event delivery (SURVEY.md §5 plan
+items b/c/d)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
+from sql_graph_visualizer_spark.operators.compaction import final_state
+from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log, write_cdc_log_dir
+from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+from sql_graph_visualizer_spark.streaming.replay import replay_batch, replay_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _state(t):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in t.read().select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+def _expected(log):
+    return sorted(map(tuple, final_state(log, payload_cols=("text",)).collect()))
+
+
+def test_streaming_replay_matches_batch_oracle(spark, tmp_path):
+    log = gen_cdc_log(spark, 3000, num_convs=20, turns_per_conv=10)
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=6)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    lineage = LineageRecorder(spark, str(tmp_path / "m"))
+    stats = replay_stream(
+        spark, log_dir, t, str(tmp_path / "ckpt"), max_files_per_trigger=2, lineage=lineage
+    )
+    assert len(stats) >= 3 and not any(s.skipped for s in stats)
+    assert _state(t) == _expected(log)
+    lrows = lineage.read().collect()
+    assert len(lrows) == len(stats)
+    assert all(r.events_per_sec > 0 for r in lrows if r.rows_in > 0)
+
+
+def test_checkpoint_resume_after_partial_replay(spark, tmp_path):
+    """Kill mid-replay (simulated: replay only part of the log), restart
+    with the same checkpoint → same final state as one-shot replay."""
+    log = gen_cdc_log(spark, 2000, num_convs=10, turns_per_conv=8)
+    log_dir = str(tmp_path / "log")
+    first_half = log.filter(F.col("seq") < 1000)
+    write_cdc_log_dir(first_half, str(tmp_path / "log"), num_files=2)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    replay_stream(spark, log_dir, t, ckpt, max_files_per_trigger=1)
+    # more of the log arrives; restart from the same checkpoint
+    (
+        log.filter(F.col("seq") >= 1000)
+        .repartition(2)
+        .write.mode("append")
+        .parquet(log_dir)
+    )
+    stats2 = replay_stream(spark, log_dir, t, ckpt, max_files_per_trigger=1)
+    assert sum(s.rows_in for s in stats2) > 0
+    assert _state(t) == _expected(log)
+
+
+def test_duplicate_event_delivery_is_idempotent(spark, tmp_path):
+    """The same events delivered twice (at-least-once source) do not
+    change the final state — versioned LWW absorbs re-delivery."""
+    log = gen_cdc_log(spark, 1000, num_convs=8, turns_per_conv=6)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    replay_batch(log, t, epochs=2, query_id="a")
+    before = _state(t)
+    replay_batch(log, t, epochs=2, query_id="b")  # full re-delivery, new query
+    assert _state(t) == before == _expected(log)
+
+
+def test_out_of_order_epochs_converge(spark, tmp_path):
+    """Epochs applied in scrambled LSN order still converge to global
+    LWW state: a persisted delete beats a stale earlier insert, and a
+    newer update can't be clobbered by an older one."""
+    log = gen_cdc_log(spark, 1200, num_convs=6, turns_per_conv=5)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    spans = [(800, 1200), (0, 400), (400, 800)]  # scrambled
+    for e, (lo, hi) in enumerate(spans):
+        chunk = log.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        t.merge_upsert(chunk, epoch_id=e, query_id="q")
+    assert _state(t) == _expected(log)
+
+
+def test_late_tombstone_beats_stale_insert(spark, tmp_path):
+    """Explicit FIXTURES §2 case: delete arrives in an earlier epoch than
+    a stale lower-seq insert of the same key."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    t.merge_upsert(mk([(10, "delete", "c", 0, None, None, None, None)]), epoch_id=0, query_id="q")
+    t.merge_upsert(mk([(5, "insert", "c", 0, "user", "stale", None, None)]), epoch_id=1, query_id="q")
+    assert t.read().count() == 0  # tombstone at seq 10 wins
+    t.merge_upsert(mk([(11, "insert", "c", 0, "user", "fresh", None, None)]), epoch_id=2, query_id="q")
+    assert [r.text for r in t.read().collect()] == ["fresh"]
+
+
+def test_tombstone_expiry_is_state_preserving(spark, tmp_path):
+    log = gen_cdc_log(spark, 800, num_convs=6, turns_per_conv=5)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    replay_batch(log, t, epochs=2)
+    before = _state(t)
+    t.expire_tombstones(older_than_seq=10_000)
+    assert t.read(system=True).filter("_deleted").count() == 0
+    assert _state(t) == before

@@ -1,0 +1,125 @@
+"""Dedup / similarity / text-analysis operators over the testdata tables."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sql_graph_visualizer_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+)
+from sql_graph_visualizer_spark.operators.similarity import cosine, cosine_topk, lsh_topk
+from sql_graph_visualizer_spark.operators.text import analyze_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_dedup_exact_counts(spark):
+    docs = _docs(spark)
+    groups = dedup_exact(docs)
+    assert groups.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+    # with duplicates injected, the duplicate collapses onto the min id
+    dup = docs.unionByName(docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000))
+    g2 = dedup_exact(dup)
+    assert g2.filter(F.col("dup_count") >= 2).count() >= 3
+    assert g2.count() == groups.count()  # same distinct texts
+
+
+def test_shingles_and_jaccard_identity(spark):
+    docs = _docs(spark).limit(50)
+    # identical copy of each doc must appear as a jaccard=1.0 pair
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = ngram_jaccard_pairs(docs.unionByName(copies), threshold=0.999)
+    assert pairs.count() >= 50
+    assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    docs = _docs(spark).limit(100)
+    # append a slightly perturbed copy (drop last 2 words) of each doc
+    words = F.split(F.col("text"), " ")
+    near = docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))))
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(near), threshold=0.5)
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    hits = sum((i, i + 100000) in found for i in range(100))
+    assert hits >= 80  # high recall on near-identical docs
+    # and it should NOT claim everything is similar
+    assert len(found) < 100 * 5
+
+
+def test_simhash_near_pairs(spark):
+    docs = _docs(spark).limit(80)
+    exact_copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = simhash_near_pairs(docs.unionByName(exact_copies), max_hamming=3)
+    found = {(r.a_id, r.b_id): r.hamming for r in pairs.collect()}
+    assert sum(found.get((i, i + 100000)) == 0 for i in range(80)) == 80
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    emb = _emb(spark)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    for qrow in queries.collect():
+        qv = np.array(qrow.query_vec)
+        sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(zip(-sims, ids))[:5]
+        expected = [int(i) for _, i in order]
+        mine = [r.vec_id for r in got if r.query_id == qrow.query_id]
+        assert mine == expected
+        # self is its own nearest neighbour
+        assert mine[0] == qrow.query_id
+
+
+def test_lsh_topk_recall(spark):
+    emb = _emb(spark)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=3, bits=8, tables=8).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6
+    # the query vector always finds itself (it collides with itself in every table)
+    assert all(any(r.query_id == r.vec_id == q.query_id for r in approx) for q in queries.collect())
+
+
+def test_analyze_documents_profile(spark):
+    prof = analyze_documents(_docs(spark)).limit(200)
+    rows = prof.collect()
+    for r in rows:
+        assert r.n_tokens_ws > 0 and r.n_tokens_bpe >= r.n_tokens_ws
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert len(r.fingerprint) == 32
+    langs = {r.lang_pred for r in rows}
+    assert langs <= {"en", "de", "es", "fr", "zh", "und"}
+
+
+def test_cosine_expression_precision(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
+    vals = [r[0] for r in df.select(cosine("a", "b")).collect()]
+    assert math.isclose(vals[0], 1.0) and math.isclose(vals[1], 0.0)
