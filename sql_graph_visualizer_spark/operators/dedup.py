@@ -208,16 +208,22 @@ def simhash_near_pairs(
     (pigeonhole), so candidates come from 4 equi-joins, then exact
     Hamming verification via bit_count(xor)."""
     sigs = simhash_signatures(docs, id_col, text_col)
+    # chunk offsets are static → plain Python loop (shiftright needs a
+    # literal int for numBits, not a Column)
     chunks = sigs.select(
         "id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright("simhash", (c * 16).cast("int")).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("cc"),
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))

@@ -87,29 +87,34 @@ def lsh_topk(
     k: int = 5,
     bits: int = 12,
     tables: int = 4,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """ANN top-k: candidates from any of `tables` LSH bucket matches,
-    exact cosine re-rank on candidates."""
+    exact cosine re-rank on candidates.
+
+    Multi-probe: the *query* side also probes every bucket within
+    Hamming distance ``probe_hamming`` of its own signature (flip each
+    bit in turn) — recall rises steeply at the cost of `bits+1`× more
+    broadcast query rows, never more corpus-side work. Corpus rows are
+    bucketed exactly once; only the tiny broadcast side fans out.
+    """
     from pyspark.sql.window import Window
 
     def sig_cols(df: DataFrame, vcol: str) -> DataFrame:
+        # bit positions are static → fold with literal weights (shiftleft
+        # needs a literal int for numBits, not a Column)
         for t in range(tables):
-            bits_arr = F.array(
-                *[_hyperplane_bit(F.col(vcol), t * bits + b, dim) for b in range(bits)]
-            )
-            bucket = F.aggregate(
-                F.zip_with(
-                    bits_arr,
-                    F.sequence(F.lit(0), F.lit(bits - 1)),
-                    lambda v, i: v.cast("long") * F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
-                ),
-                F.lit(0).cast("long"),
-                lambda a, v: a + v,
-            )
+            terms = [
+                _hyperplane_bit(F.col(vcol), t * bits + b, dim).cast("long") * F.lit(1 << b)
+                for b in range(bits)
+            ]
+            bucket = terms[0]
+            for term in terms[1:]:
+                bucket = bucket + term
             df = df.withColumn(f"bucket_{t}", bucket)
         return df
 
@@ -122,13 +127,29 @@ def lsh_topk(
             F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk")) for t in range(tables)])
         ).alias("tb"),
     ).select(id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
-    q_b = qs.select(
-        query_id_col,
-        query_vec_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk")) for t in range(tables)])
-        ).alias("tb"),
-    ).select(query_id_col, query_vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    probes: list[int] = [0]
+    if probe_hamming >= 1:
+        probes += [1 << b for b in range(bits)]
+    q_b = (
+        qs.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col(f"bucket_{t}").bitwiseXOR(F.lit(p)).alias("bk"),
+                        )
+                        for t in range(tables)
+                        for p in probes
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(query_id_col, query_vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+        .dropDuplicates([query_id_col, "t", "bk"])
+    )
 
     cand = (
         emb_b.join(F.broadcast(q_b), on=["t", "bk"])
