@@ -1,38 +1,776 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 is exposed here as a
+``queries()`` entry with (where SQL-expressible) a DuckDB oracle in
+``oracle_sql()``. The CDC queries drive the REAL engine — a change log
+derived arithmetically from the ``events`` table (so DuckDB can rebuild
+the identical log) is replayed through ``SnapshotTable`` MERGE upserts,
+and the oracle independently recomputes the final state with a
+row_number window. Columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
+from sql_graph_visualizer_spark.operators.compaction import compact_lww, final_state
+from sql_graph_visualizer_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from sql_graph_visualizer_spark.operators.similarity import cosine_topk, lsh_topk
+from sql_graph_visualizer_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    token_count,
+    whitespace_token_count,
+)
+from sql_graph_visualizer_spark.plans.graph_builder import (
+    build_conv_edges_arrow,
+    build_edges,
+    build_nodes,
+)
+from sql_graph_visualizer_spark.plans.rules import NodeMapping, NodeRule, RelationshipRule
+from sql_graph_visualizer_spark.sources.events_cdc import (
+    FINAL_STATE_MODEL_SQL,
+    FINAL_STATE_SQL,
+    CDC_LOG_CTE,
+    CDC_WINNERS_CTE,
+    TRANSCRIPT_SCHEMA,
+    derive_cdc_log,
+)
+from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+from sql_graph_visualizer_spark.streaming.replay import replay_batch, replay_stream
+from sql_graph_visualizer_spark.sources.cdc_gen import write_cdc_log_dir
+
+# ---------------------------------------------------------------- helpers
+
+_TABLES: dict[tuple[str, str], str] = {}  # (sf_dir, variant) -> table path
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: str | F.Column) -> F.Column:
+    """Deterministic float aggregate: exact decimal sum, cast to double —
+    immune to summation-order differences between Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,8)")).cast("double")
+
+
+def _replayed(spark: SparkSession, sf_dir: str, variant: str = "batch") -> SnapshotTable:
+    """Replay the events-derived CDC log into a SnapshotTable through the
+    real engine path (LWW compaction → salted repartition → epoch-fenced
+    MERGE); cached per (sf_dir, variant) within the process."""
+    key = (sf_dir, variant)
+    if key in _TABLES and SnapshotTable.exists(_TABLES[key]):
+        return SnapshotTable(spark, _TABLES[key])
+
+    base = tempfile.mkdtemp(prefix=f"sgv_{variant}_")
+    path = os.path.join(base, "table")
+    with_model = variant == "evolve"
+    log = derive_cdc_log(spark, sf_dir, with_model=with_model)
+    table = SnapshotTable.create(
+        spark, path, TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=16
+    )
+    if variant == "stream":
+        log_dir = os.path.join(base, "log")
+        write_cdc_log_dir(log, log_dir, num_files=8)
+        replay_stream(
+            spark, log_dir, table, os.path.join(base, "ckpt"), max_files_per_trigger=3
+        )
+    elif variant == "salted":
+        # hot_threshold=1 forces the salted two-level compaction path
+        replay_batch(log, table, epochs=4, hot_threshold=1)
+    elif variant == "lineage":
+        rec = LineageRecorder(spark, os.path.join(base, "lineage"))
+        replay_batch(log, table, epochs=4, lineage=rec)
+        _TABLES[(sf_dir, "lineage_metrics")] = os.path.join(base, "lineage")
+    else:  # batch (also used by evolve)
+        replay_batch(log, table, epochs=4)
+    _TABLES[key] = path
+    return table
+
+
+# ------------------------------------------------------------ CDC queries
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full engine replay (4 epoch-fenced MERGE commits), read
+    final table state. Reference semantics: final state as pure function
+    of the log (cmd/main.go:165-177 wipe-and-rebuild, done incrementally)."""
+    return _replayed(spark, sf_dir, "batch").read()
+
+
+def q_cdc_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state via Structured Streaming (file-source binlog tail,
+    foreachBatch MERGE, checkpoint + epoch fencing)."""
+    return _replayed(spark, sf_dir, "stream").read()
+
+
+def q_cdc_replay_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state with forced hot-key salting (two-level LWW
+    compaction) — proves salting never changes results, only plans."""
+    return _replayed(spark, sf_dir, "salted").read()
+
+
+def q_cdc_compact_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core window op alone: one winning event per key (W5)."""
+    log = derive_cdc_log(spark, sf_dir)
+    return compact_lww(log).select(
+        "conv_id", "turn_idx", "seq", "op", "role", "text", "tool", "ts"
+    )
+
+
+def q_cdc_final_state_batch_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-batch oracle operator (no table): compaction + tombstone drop."""
+    return final_state(derive_cdc_log(spark, sf_dir))
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay where the upper half of the log carries a new `model`
+    column: the merge-schema resolver ADDs the column mid-replay; earlier
+    winners read back as NULL."""
+    return _replayed(spark, sf_dir, "evolve").read()
+
+
+def q_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted tombstones per conversation (system view of the table) —
+    deletes must survive as fenced tombstones until a replay horizon."""
+    t = _replayed(spark, sf_dir, "batch")
+    sysdf = t.read(system=True)
+    return (
+        sysdf.filter(F.col("_deleted"))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_tombstones"))
+    )
+
+
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage metrics recorded at each commit: compacted rows
+    in, upserts, deletes (deterministic; durations excluded)."""
+    _replayed(spark, sf_dir, "lineage")
+    rec = LineageRecorder(spark, _TABLES[(sf_dir, "lineage_metrics")])
+    return rec.read().select(
+        "epoch_id",
+        F.col("rows_in").cast("long").alias("rows_in"),
+        F.col("upserts").cast("long").alias("upserts"),
+        F.col("deletes").cast("long").alias("deletes"),
+    )
+
+
+# ---------------------------------------------------------- graph queries
+
+
+def q_graph_conv_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _replayed(spark, sf_dir, "batch").read()
+    return (
+        state.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"), F.max("ts").alias("last_ts"))
+        .select(
+            F.concat(F.lit("Conversation:"), F.col("conv_id")).alias("node_id"),
+            "conv_id",
+            "n_turns",
+            "last_ts",
+        )
+    )
+
+
+def q_graph_has_turn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conv→turn edges via the grouped-map Arrow UDF (the reference's
+    signature row→graph mapping, vectorized per conversation group)."""
+    state = _replayed(spark, sf_dir, "batch").read()
+    return build_conv_edges_arrow(state).filter(F.col("rel_type") == "HAS_TURN")
+
+
+def q_graph_uses_tool_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _replayed(spark, sf_dir, "batch").read()
+    return build_conv_edges_arrow(state).filter(F.col("rel_type") == "USES_TOOL")
+
+
+_NODE_RULES = [
+    NodeRule(
+        name="customer_nodes",
+        source="customer",
+        target_type="Customer",
+        id_col="c_custkey",
+        field_mappings={"c_name": "name"},
+        priority=1,
+    ),
+    NodeRule(
+        name="nation_nodes",
+        source="nation",
+        target_type="Nation",
+        id_col="n_nationkey",
+        field_mappings={"n_name": "name"},
+        priority=2,
+    ),
+    NodeRule(
+        name="supplier_nodes",
+        source="supplier",
+        target_type="Supplier",
+        id_col="s_suppkey",
+        field_mappings={"s_name": "name"},
+        priority=3,
+    ),
+]
+
+_REL_RULES = [
+    RelationshipRule(
+        name="customer_belongs_to_nation",
+        source="customer",
+        relation_type="BELONGS_TO",
+        source_node=NodeMapping("Customer", "c_custkey"),
+        target_node=NodeMapping("Nation", "c_nationkey"),
+        priority=1,
+    ),
+    RelationshipRule(
+        name="supplier_located_in_nation",
+        source="supplier",
+        relation_type="LOCATED_IN",
+        source_node=NodeMapping("Supplier", "s_suppkey"),
+        target_node=NodeMapping("Nation", "s_nationkey"),
+        priority=2,
+    ),
+]
+
+
+def _rule_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: _read(spark, sf_dir, n) for n in ("customer", "nation", "supplier")}
+
+
+def q_graph_rules_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's YAML rule engine (P1 field-mapping projections,
+    transform_rule_aggregate.go:71-87) compiled to DataFrame plans."""
+    nodes = build_nodes(_rule_sources(spark, sf_dir), _NODE_RULES)
+    return nodes.select(
+        "node_id", "node_type", F.element_at("properties", "name").alias("prop_name")
+    )
+
+
+def q_graph_rules_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship rules as hash joins against the nodes table (J2),
+    dangling endpoints dropped — replaces the reference's O(N·M) nested
+    loop (transform_service.go:361-444)."""
+    sources = _rule_sources(spark, sf_dir)
+    nodes = build_nodes(sources, _NODE_RULES)
+    return build_edges(sources, nodes, _REL_RULES).select("src", "dst", "rel_type")
+
+
+# ------------------------------------------------------ relational queries
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum(disc_price).alias("sum_disc_price"),
+        _dsum(charge).alias("sum_charge"),
+        (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join pair generation (J4: u1.id < u2.id shape)."""
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    )
+    return (
+        pairs.groupBy(F.col("a.s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("pair_count"))
+        .join(F.broadcast(n), F.col("nationkey") == n["n_nationkey"])
+        .select("n_name", "pair_count")
+    )
+
+
+def q_agg_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: group + COUNT/SUM + HAVING (config.yml:236 shape)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("order_count"), _dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("order_count") >= 14)
+    )
+
+
+def q_window_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-N per group via row_number."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4: time-ordered per-entity trend via lag."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def q_set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: distinct set union across two sources."""
+    c = _read(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _read(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q_agg_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: key-value pivot as conditional aggregation."""
+    o = _read(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aggs = [
+        F.count(F.when(F.col("o_orderpriority") == p, 1)).alias(f"n_p{i + 1}")
+        for i, p in enumerate(pris)
+    ]
+    return o.groupBy("o_orderstatus").agg(*aggs, F.count("*").alias("n_total"))
+
+
+def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string family: concat/upper/substring/length/md5 (the
+    reference's CONCAT synthetic keys, config.yml:161,236)."""
+    c = _read(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"), F.lit(")")).alias(
+            "name_tag"
+        ),
+        F.md5("c_name").alias("name_key"),
+    )
+
+
+def q_scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date family: month rollup of order dates."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON family: property-bag extraction (the reference JSON-ifies
+    map properties, transform_service.go:239-241)."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n_events")
+    )
+
+
+def q_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: bounded cartesian pair generation (simple_metrics_injector
+    all-pairs demo, i<j)."""
+    r = _read(spark, sf_dir, "region")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("a_name"), F.col("b.r_name").alias("b_name"))
+    )
+
+
+# ------------------------------------------------- text / dedup / vectors
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    stripped = F.regexp_replace(c, r"[.,!?;:'\"()\[\]-]", "")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(c).cast("long").alias("n_tokens_ws"),
+        token_count(c).cast("long").alias("n_tokens_bpe"),
+        (F.length(c) - F.length(stripped)).cast("long").alias("n_punct"),
+        F.length(c).cast("long").alias("n_len"),
+        fingerprint(c).alias("fingerprint"),
+    )
+
+
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs (xxhash64 signatures — not oracle-SQL
+    expressible; driver records rows-only)."""
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check). max_hamming=3 is the
+    regime where 4-chunk banding is provably complete (pigeonhole)."""
+    return simhash_near_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    got = cosine_topk(e, _queries_df(spark, sf_dir), k=5)
+    return got.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via multi-probe random-hyperplane LSH (rows-only)."""
+    e = _read(spark, sf_dir, "embeddings")
+    got = lsh_topk(e, _queries_df(spark, sf_dir), dim=64, k=5, bits=8, tables=8)
+    return got.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ----------------------------------------------------------------- driver
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full CDC replay through
+    the engine (epoch-fenced MERGE commits), returning final table state."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # CDC engine core
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_replay_stream": q_cdc_replay_stream,
+        "cdc_replay_salted": q_cdc_replay_salted,
+        "cdc_compact_lww": q_cdc_compact_lww,
+        "cdc_final_state_batch_op": q_cdc_final_state_batch_op,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_tombstones": q_cdc_tombstones,
+        "cdc_lineage": q_cdc_lineage,
+        # derived graph (signature feature)
+        "graph_conv_nodes": q_graph_conv_nodes,
+        "graph_has_turn_edges": q_graph_has_turn_edges,
+        "graph_uses_tool_edges": q_graph_uses_tool_edges,
+        "graph_rules_nodes": q_graph_rules_nodes,
+        "graph_rules_edges": q_graph_rules_edges,
+        # relational operator families (SURVEY §2.2-2.8)
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "join_theta_pairs": q_join_theta_pairs,
+        "agg_orders_having": q_agg_orders_having,
+        "window_top3_orders": q_window_top3_orders,
+        "window_lag_events": q_window_lag_events,
+        "set_union_nations": q_set_union_nations,
+        "agg_pivot_priority": q_agg_pivot_priority,
+        "scalar_string_funcs": q_scalar_string_funcs,
+        "scalar_date_trunc": q_scalar_date_trunc,
+        "json_extract_props": q_json_extract_props,
+        "cross_region_pairs": q_cross_region_pairs,
+        # training-data pipeline ops
+        "text_profile": q_text_profile,
+        "text_lang": q_text_lang,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_ann": q_sim_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WINNERS = "WITH " + CDC_WINNERS_CTE
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    final_cols = "conv_id, turn_idx, role, text, tool, ts"
+    return {
+        "cdc_final_state": FINAL_STATE_SQL,
+        "cdc_replay_stream": FINAL_STATE_SQL,
+        "cdc_replay_salted": FINAL_STATE_SQL,
+        "cdc_compact_lww": _WINNERS
+        + "SELECT conv_id, turn_idx, seq, op, role, text, tool, ts FROM winners",
+        "cdc_final_state_batch_op": FINAL_STATE_SQL,
+        "cdc_schema_evolution": FINAL_STATE_MODEL_SQL,
+        "cdc_tombstones": _WINNERS
+        + """
+SELECT conv_id, count(*) AS n_tombstones
+FROM winners WHERE op = 'delete' GROUP BY conv_id
+""",
+        "cdc_lineage": "WITH "
+        + CDC_LOG_CTE
+        + """,
+bounds AS (
+  SELECT min(seq) AS lo, (max(seq) - min(seq) + 4) // 4 AS span FROM cdc
+),
+chunk_winners AS (
+  SELECT (c.seq - b.lo) // b.span AS epoch_id, c.conv_id, c.turn_idx, c.op
+  FROM cdc c, bounds b
+  QUALIFY row_number() OVER (
+    PARTITION BY (c.seq - b.lo) // b.span, c.conv_id, c.turn_idx
+    ORDER BY c.seq DESC) = 1
+),
+per_epoch AS (
+  SELECT epoch_id, count(*) AS rows_in,
+         count(*) FILTER (op = 'delete') AS deletes
+  FROM chunk_winners GROUP BY epoch_id
+)
+SELECT g.epoch_id,
+       coalesce(p.rows_in, 0) AS rows_in,
+       coalesce(p.rows_in, 0) - coalesce(p.deletes, 0) AS upserts,
+       coalesce(p.deletes, 0) AS deletes
+FROM generate_series(0, 3) g(epoch_id)
+LEFT JOIN per_epoch p ON p.epoch_id = g.epoch_id
+""",
+        "graph_conv_nodes": _WINNERS
+        + """
+SELECT 'Conversation:' || conv_id AS node_id, conv_id,
+       count(*) AS n_turns, max(ts) AS last_ts
+FROM winners WHERE op <> 'delete' GROUP BY conv_id
+""",
+        "graph_has_turn_edges": _WINNERS
+        + """
+SELECT 'Conversation:' || conv_id AS src,
+       'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst,
+       'HAS_TURN' AS rel_type, turn_idx
+FROM winners WHERE op <> 'delete'
+""",
+        "graph_uses_tool_edges": _WINNERS
+        + """
+SELECT 'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
+       'Tool:' || tool AS dst, 'USES_TOOL' AS rel_type, turn_idx
+FROM winners WHERE op <> 'delete' AND tool IS NOT NULL
+""",
+        "graph_rules_nodes": """
+SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS node_id,
+       'Customer' AS node_type, c_name AS prop_name FROM customer
+UNION ALL
+SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR), 'Nation', n_name FROM nation
+UNION ALL
+SELECT 'Supplier:' || CAST(s_suppkey AS VARCHAR), 'Supplier', s_name FROM supplier
+""",
+        "graph_rules_edges": """
+SELECT 'Customer:' || CAST(c.c_custkey AS VARCHAR) AS src,
+       'Nation:' || CAST(c.c_nationkey AS VARCHAR) AS dst,
+       'BELONGS_TO' AS rel_type
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'Supplier:' || CAST(s.s_suppkey AS VARCHAR),
+       'Nation:' || CAST(s.s_nationkey AS VARCHAR), 'LOCATED_IN'
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+        "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3_top10": """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+        "join_theta_pairs": """
+SELECT n.n_name, p.pair_count FROM (
+  SELECT a.s_nationkey AS nationkey, count(*) AS pair_count
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  GROUP BY a.s_nationkey
+) p JOIN nation n ON p.nationkey = n.n_nationkey
+""",
+        "agg_orders_having": """
+SELECT o_custkey, count(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 14
+""",
+        "window_top3_orders": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+        "window_lag_events": """
+SELECT event_id, user_id, value,
+  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+""",
+        "set_union_nations": """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+        "agg_pivot_priority": """
+SELECT o_orderstatus,
+  count(*) FILTER (o_orderpriority = '1-URGENT') AS n_p1,
+  count(*) FILTER (o_orderpriority = '2-HIGH') AS n_p2,
+  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_p3,
+  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_p4,
+  count(*) FILTER (o_orderpriority = '5-LOW') AS n_p5,
+  count(*) AS n_total
+FROM orders GROUP BY o_orderstatus
+""",
+        "scalar_string_funcs": """
+SELECT c_custkey, upper(c_name) AS name_upper, substr(c_name, 1, 8) AS name_prefix,
+  CAST(length(c_name) AS INTEGER) AS name_len,
+  c_name || ' (' || c_mktsegment || ')' AS name_tag, md5(c_name) AS name_key
+FROM customer
+""",
+        "scalar_date_trunc": """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  count(*) AS n_orders,
+  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+FROM orders GROUP BY 1
+""",
+        "json_extract_props": """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "cross_region_pairs": """
+SELECT a.r_name AS a_name, b.r_name AS b_name
+FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
+""",
+        "text_profile": r"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(length(text) AS BIGINT) AS n_len,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+        "text_lang": r"""
+WITH scored AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p, lower(text) AS lt FROM documents
+), hits AS (
+  SELECT doc_id,
+    (contains(p, ' the ')::INT + contains(p, ' and ')::INT + contains(p, ' of ')::INT) AS h_en,
+    (contains(p, ' der ')::INT + contains(p, ' und ')::INT + contains(p, ' nicht ')::INT) AS h_de,
+    (contains(p, ' el ')::INT + contains(p, ' que ')::INT + contains(p, ' los ')::INT) AS h_es,
+    (contains(p, ' le ')::INT + contains(p, ' et ')::INT + contains(p, ' les ')::INT) AS h_fr,
+    (contains(lt, '的')::INT + contains(lt, '了')::INT + contains(lt, '是')::INT) AS h_zh
+  FROM scored
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+       WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'zh'
+       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'es'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM hits
+""",
+        "dedup_exact": r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+  min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM documents
+), words AS (
+  SELECT doc_id, regexp_split_to_array(t, ' ') AS w FROM norm
+), grams AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM words WHERE len(w) >= 3
+), sh AS (
+  SELECT doc_id AS id, unnest(g) AS shingle FROM grams
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
+WHERE i / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "sim_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(e.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(q.qv,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cos
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 5
+""",
+    }

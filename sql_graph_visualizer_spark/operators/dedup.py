@@ -101,12 +101,41 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3) -> F.Column:
     """MinHash signature as array<long>: slot i = min over shingles of
-    xxhash64(shingle, salt=i). Pure expressions — transform over the
-    salt range with array_min inside; vectorized in codegen."""
+    xxhash64(shingle, salt=i), as a single column expression.
+
+    Note: Spark evaluates higher-order functions (transform/array_min)
+    interpreted, outside whole-stage codegen — fine for ad-hoc use, but
+    the scale path is ``minhash_signatures`` below (explode + hash
+    aggregation, codegen'd and map-side combined)."""
     sh = shingles(text_col, shingle_n)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signatures the scalable way: explode shingles, one
+    groupBy(doc) computing all ``num_hashes`` mins at once — stays inside
+    whole-stage codegen and gets map-side partial aggregation, so an
+    update-heavy 100 TB corpus shuffles only (id, 64 longs) per doc.
+    Same values as ``minhash_signature`` (min over an identical hash set);
+    docs with no shingles (< n words) drop out instead of producing
+    all-NULL signatures that spuriously collide."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    return (
+        toks.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -130,8 +159,8 @@ def minhash_lsh_pairs(
     shuffles only (band, bucket-hash, id); no all-pairs stage exists.
     """
     r = num_hashes // bands
-    sig = docs.filter(F.length(F.col(text_col)) > 0).select(
-        F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, shingle_n).alias("sig")
+    sig = minhash_signatures(
+        docs.filter(F.length(F.col(text_col)) > 0), id_col, text_col, num_hashes, shingle_n
     )
     banded = sig.select(
         "id",
