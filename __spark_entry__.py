@@ -30,6 +30,12 @@ from sql_graph_visualizer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from sql_graph_visualizer_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    resize_plan,
+    synthesize_media,
+)
 from sql_graph_visualizer_spark.operators.similarity import cosine_topk, lsh_topk
 from sql_graph_visualizer_spark.operators.text import (
     detect_language,
@@ -319,6 +325,33 @@ def q_join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: LEFT JOIN preserved-side semantics (config.yml:176 shape) —
+    every nation appears even with zero customers."""
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+def q_agg_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: column-statistics model — null/distinct counts, min/max/avg
+    (database_schema.go:326-355, stubbed in the reference)."""
+    l = _read(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_partkey").alias("n_distinct_parts"),
+        F.count_distinct("l_returnflag", "l_linestatus").alias("n_flag_combos"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (_dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+    )
+
+
 def q_agg_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: group + COUNT/SUM + HAVING (config.yml:236 shape)."""
     o = _read(spark, sf_dir, "orders")
@@ -463,6 +496,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary media column → typed metadata
+    via Arrow mapInPandas (codec stubbed deterministically)."""
+    return decode_media(synthesize_media(_read(spark, sf_dir, "documents")))
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-index sampling (1 row → N rows via sequence+explode)."""
+    return frame_sample(synthesize_media(_read(spark, sf_dir, "documents")), every_n=10)
+
+
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize targets (metadata math)."""
+    return resize_plan(synthesize_media(_read(spark, sf_dir, "documents")))
+
+
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") < 3).select(
@@ -513,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_top10": q_tpch_q3_top10,
         "join_theta_pairs": q_join_theta_pairs,
+        "join_left_outer": q_join_left_outer,
+        "agg_column_stats": q_agg_column_stats,
         "agg_orders_having": q_agg_orders_having,
         "window_top3_orders": q_window_top3_orders,
         "window_lag_events": q_window_lag_events,
@@ -531,6 +582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        # multimodal plumbing (stubbed codecs, real Arrow/mapInPandas path)
+        "mm_decode": q_mm_decode,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize_plan": q_mm_resize_plan,
     }
 
 
@@ -640,6 +695,20 @@ SELECT n.n_name, p.pair_count FROM (
     ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
   GROUP BY a.s_nationkey
 ) p JOIN nation n ON p.nationkey = n.n_nationkey
+""",
+        "join_left_outer": """
+SELECT n.n_nationkey, n.n_name, count(c.c_custkey) AS n_customers
+FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_nationkey, n.n_name
+""",
+        "agg_column_stats": """
+SELECT count(*) AS n_rows,
+  count(DISTINCT l_partkey) AS n_distinct_parts,
+  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_combos,
+  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
+  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / count(l_quantity) AS avg_qty
+FROM lineitem
 """,
         "agg_orders_having": """
 SELECT o_custkey, count(*) AS order_count,
@@ -752,6 +821,43 @@ WITH norm AS (
 SELECT a_id, b_id, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = a_id JOIN sizes sb ON sb.id = b_id
 WHERE i / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "mm_decode": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT media_id, kind, n AS n_bytes,
+  CAST(CASE kind WHEN 'image' THEN 64 + n % 640 WHEN 'audio' THEN 0 ELSE 320 END AS INTEGER) AS width,
+  CAST(CASE kind WHEN 'image' THEN 64 + n % 480 WHEN 'audio' THEN 0 ELSE 240 END AS INTEGER) AS height,
+  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 1 + n % 1000 ELSE 1 + n % 120 END AS INTEGER) AS n_frames,
+  md5(text) AS content_digest
+FROM media
+""",
+        "mm_frame_sample": """
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(1 + n % 120 AS INTEGER) AS n_frames,
+       CAST(unnest(generate_series(0, n % 120, 10)) AS INTEGER) AS frame_idx
+FROM media
+""",
+        "mm_resize_plan": """
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), dims AS (
+  SELECT media_id, CAST(64 + n % 640 AS INTEGER) AS width,
+         CAST(64 + n % 480 AS INTEGER) AS height FROM media
+)
+SELECT media_id, width, height,
+  CAST(floor(width * least(224.0 / width, 224.0 / height, 1.0)) AS INTEGER) AS target_w,
+  CAST(floor(height * least(224.0 / width, 224.0 / height, 1.0)) AS INTEGER) AS target_h
+FROM dims
 """,
         "sim_cosine_topk": """
 WITH q AS (

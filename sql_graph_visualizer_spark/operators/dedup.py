@@ -36,6 +36,19 @@ def normalize_text(col: F.Column) -> F.Column:
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+def spread(docs: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure enough input partitions before CPU-heavy per-doc work
+    (shingling/hashing). A small corpus read from one parquet file is one
+    partition — every downstream explode+aggregate then runs map-side on
+    a single core. On a real cluster inputs arrive in many splits and
+    this is a no-op; locally it unlocks the other N-1 cores."""
+    sc = docs.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target)
+
+
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per distinct normalized text.
 
@@ -76,9 +89,15 @@ def ngram_jaccard_pairs(
     scale limiter (hot shingles fan out) — at 100 TB use minhash_lsh_pairs
     and verify survivors with this on the candidate set only.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
+    # the shingle set feeds three plan branches (a-side, b-side, sizes);
+    # persist so the explode+normalize runs once, not three times
+    sh = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, n)).alias("shingle"),
+        )
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -128,8 +147,13 @@ def minhash_signatures(
     Same values as ``minhash_signature`` (min over an identical hash set);
     docs with no shingles (< n words) drop out instead of producing
     all-NULL signatures that spuriously collide."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    # hash the shingle string ONCE to a long, then derive the k slots by
+    # re-mixing the 8-byte value — k× cheaper than k string hashes, same
+    # uniformity (xxhash64 of independent salts over a hash value)
+    toks = (
+        spread(docs)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s"))
+        .select("id", F.xxhash64("s").alias("sh"))
     )
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     return (
@@ -159,9 +183,13 @@ def minhash_lsh_pairs(
     shuffles only (band, bucket-hash, id); no all-pairs stage exists.
     """
     r = num_hashes // bands
+    # persist: the self-join's two aliases would otherwise recompute the
+    # whole shingle→hash→aggregate pipeline twice. Signatures are
+    # (id, k longs) — a fraction of a percent of corpus bytes, so this is
+    # also the right call at 100 TB (or materialize them to a table).
     sig = minhash_signatures(
         docs.filter(F.length(F.col(text_col)) > 0), id_col, text_col, num_hashes, shingle_n
-    )
+    ).persist()
     banded = sig.select(
         "id",
         "sig",
@@ -204,7 +232,7 @@ def simhash_signatures(
     """Per-doc 64-bit SimHash computed the scalable way: explode tokens,
     one groupBy(doc) aggregating 64 signed bit-sums at once (map-side
     combine), then pack bits. One shuffle of (id, 64 ints)."""
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, 1)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     sums = toks.groupBy("id").agg(
@@ -236,7 +264,7 @@ def simhash_near_pairs(
     chunks — any pair within Hamming distance 3 shares ≥1 exact chunk
     (pigeonhole), so candidates come from 4 equi-joins, then exact
     Hamming verification via bit_count(xor)."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    sigs = simhash_signatures(docs, id_col, text_col).persist()
     # chunk offsets are static → plain Python loop (shiftright needs a
     # literal int for numBits, not a Column)
     chunks = sigs.select(

@@ -44,8 +44,15 @@ def replay_stream(
     lineage: LineageRecorder | None = None,
     hot_threshold: int = 100_000,
     on_batch: Callable[[DataFrame, int, MergeStats], None] | None = None,
-) -> list[MergeStats]:
-    """Replay a file-backed CDC log into ``table``; returns per-epoch stats."""
+):
+    """Replay a file-backed CDC log into ``table``.
+
+    Bounded mode (``available_now=True``, default): drains the log,
+    returns ``list[MergeStats]`` (one per epoch). Sustained mode: starts
+    the query and returns the live ``StreamingQuery`` (with a
+    ``merge_stats`` attribute that fills as epochs commit) — the caller
+    stops it. Reference analogue for sustained mode: the 5 s ticker loop
+    (``realtime_performance_monitor.go:287-303``)."""
     stats: list[MergeStats] = []
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -66,11 +73,16 @@ def replay_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    elif processing_time:
+        q = writer.start()
+        q.awaitTermination()
+        return stats
+    # sustained mode (the reference's 5s poll loop): hand the live query
+    # back so the caller can monitor/stop it; `stats` fills as epochs land
+    if processing_time:
         writer = writer.trigger(processingTime=processing_time)
-    q = writer.start()
-    q.awaitTermination() if available_now else None
-    return stats
+    query = writer.start()
+    setattr(query, "merge_stats", stats)
+    return query
 
 
 def replay_batch(

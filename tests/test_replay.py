@@ -114,6 +114,37 @@ def test_late_tombstone_beats_stale_insert(spark, tmp_path):
     assert [r.text for r in t.read().collect()] == ["fresh"]
 
 
+def test_sustained_mode_processing_time_trigger(spark, tmp_path):
+    """Sustained mode (the reference's 5 s poll ticker): a processing-time
+    trigger drains the log across ticks; caller stops the live query."""
+    import time
+
+    log = gen_cdc_log(spark, 1500, num_convs=10, turns_per_conv=6)
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=4)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    q = replay_stream(
+        spark,
+        log_dir,
+        t,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        available_now=False,
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and sum(s.rows_in for s in q.merge_stats) == 0:
+            time.sleep(1)
+        # wait until the whole log has been consumed (2 epochs of 2 files)
+        while time.time() < deadline and len(q.merge_stats) < 2:
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert _state(t) == _expected(log)
+
+
 def test_tombstone_expiry_is_state_preserving(spark, tmp_path):
     log = gen_cdc_log(spark, 800, num_convs=6, turns_per_conv=5)
     t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
