@@ -280,12 +280,30 @@ class SnapshotTable:
         key_cols = m["key_cols"]
 
         aligned = align_to_schema(batch, table_schema, keep_extra=[op_col, order_col])
-        compacted = compact_lww(aligned, tuple(key_cols), order_col).persist()
+
+        # Scan discipline (the 10^10-event design point): the raw batch is
+        # scanned exactly TWICE — once column-pruned (keys, order, op) for
+        # the winner/stat aggregation, once full-payload filtered by a
+        # broadcast semi-join on the winning LSNs. Everything after that
+        # is proportional to |keys|, not |events|. All aggregation buffers
+        # are fixed-width (long/int), so every agg is a HashAggregate with
+        # map-side partial aggregation — an update storm on a hot
+        # conversation collapses locally before the shuffle, which is why
+        # the default path needs no salting (operators/skew.py remains the
+        # explicit tool for payload-carrying skewed aggregations).
+        is_del = (F.col(op_col) == "delete").cast("int")
+        winners = (
+            aligned.groupBy(*key_cols)
+            .agg(
+                F.max(order_col).alias(order_col),
+                F.max_by(is_del, F.col(order_col)).alias("__del"),
+            )
+            .persist()
+        )
         try:
-            # one pass over the (small) compacted batch for fan-out stats
-            agg = compacted.select(
+            agg = winners.select(
                 F.count("*").alias("n"),
-                F.sum((F.col(op_col) == "delete").cast("long")).alias("d"),
+                F.sum("__del").alias("d"),
                 F.collect_set(self._bucket_expr(m)).alias("bs"),
             ).collect()[0]
             rows_in, deletes = int(agg["n"]), int(agg["d"] or 0)
@@ -301,25 +319,29 @@ class SnapshotTable:
 
             # Versioned MERGE: re-express current rows (incl. persisted
             # tombstones) as change events carrying their committed _seq,
-            # union with the batch, and let one more LWW compaction pick
-            # the max-seq winner per key. Equivalent to
+            # union with the winning batch events, and let one LWW
+            # compaction pick the max-seq winner per key. Equivalent to
             #   WHEN MATCHED AND src.seq >= tgt._seq AND op='delete' THEN DELETE
             #   WHEN MATCHED AND src.seq >= tgt._seq THEN UPDATE
             #   WHEN NOT MATCHED AND op!='delete' THEN INSERT
             # but correct under out-of-order epochs and event re-delivery
             # (a stale version can never overwrite a newer one).
             payload = [F.col(f.name) for f in table_schema.fields]
+            seqs = winners.select(order_col)
+            survivors = aligned.join(F.broadcast(seqs), on=order_col, how="left_semi")
             existing = self.read(buckets=affected, manifest=m, system=True)
             existing_events = existing.select(
                 *payload,
                 F.col(_SEQ).alias(order_col),
                 F.when(F.col(_DELETED), F.lit("delete")).otherwise(F.lit("update")).alias(op_col),
             )
-            batch_events = compacted.select(*payload, F.col(order_col), F.col(op_col))
-            winners = compact_lww(
-                existing_events.unionByName(batch_events), tuple(key_cols), order_col
-            )
-            result = winners.select(
+            batch_events = survivors.select(*payload, F.col(order_col), F.col(op_col))
+            # staged rows ∝ |keys| → the sort-based single-shuffle compact
+            # is cheapest here (one job, no broadcast round-trip), and the
+            # whole union→compact→bucket-write pipeline runs as one job
+            staged = existing_events.unionByName(batch_events)
+            final = compact_lww(staged, tuple(key_cols), order_col, broadcast_winner_seqs="sort")
+            result = final.select(
                 *payload,
                 F.col(order_col).cast("long").alias(_SEQ),
                 (F.col(op_col) == "delete").alias(_DELETED),
@@ -353,7 +375,7 @@ class SnapshotTable:
                 m["version"],
             )
         finally:
-            compacted.unpersist()
+            winners.unpersist()
 
     def append(self, df: DataFrame, epoch_id: int = -1, query_id: str = "default") -> int:
         """Append-only commit (used by the lineage/metrics table)."""

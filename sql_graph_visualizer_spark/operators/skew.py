@@ -3,7 +3,16 @@
 The reference has no skew story (single-threaded, in-memory —
 SURVEY.md §4.1). At 10^10 events, Zipf-hot conversations concentrate an
 update storm on a few ``conv_id`` shuffle keys; AQE's skew-join split only
-helps *joins*, not the pre-MERGE aggregation shuffle. Two levers here:
+helps *joins*, not aggregation shuffles.
+
+Where this sits in the engine: the default MERGE path's winner selection
+is a fixed-width ``max(seq)`` hash aggregate, so map-side partial
+aggregation already collapses hot-key storms before the shuffle — the
+default replay needs no salting. The explicit salted two-level
+compaction below is the tool for **payload-carrying** skewed
+aggregations (where partials are as wide as the rows) and is available
+as an opt-in pre-compaction via ``replay_batch(..., hot_threshold=N)``.
+Two levers here:
 
 1. ``detect_hot_keys`` — cheap per-batch frequency probe of the bucket
    column (a groupBy count, map-side combined, tiny result).

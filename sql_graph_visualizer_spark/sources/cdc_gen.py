@@ -120,27 +120,43 @@ def gen_cdc_log(
     return out
 
 
+# JSON change-event schema (the Debezium/Maxwell-style binlog-tail format)
+CDC_JSON_SCHEMA = (
+    "seq long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, schema_ver int"
+)
+
+
 def write_cdc_log_dir(
-    df: DataFrame, path: str, num_files: int
+    df: DataFrame, path: str, num_files: int, fmt: str = "parquet"
 ) -> None:
-    """Materialize the log as ~num_files parquet files ordered by seq range,
-    so a file-based readStream (with maxFilesPerTrigger) replays roughly in
-    LSN order — the binlog-tail analogue. Correctness never depends on this
-    ordering (LWW resolves on seq), only bench realism does."""
-    (
-        df.repartitionByRange(num_files, "seq")
-        .sortWithinPartitions("seq")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    """Materialize the log as ~num_files files ordered by seq range, so a
+    file-based readStream (with maxFilesPerTrigger) replays roughly in
+    LSN order — the binlog-tail analogue. Correctness never depends on
+    this ordering (LWW resolves on seq), only bench realism does.
+    ``fmt='json'`` writes gzip JSON-lines — the Debezium/Maxwell shape."""
+    ordered = df.repartitionByRange(num_files, "seq").sortWithinPartitions("seq")
+    w = ordered.write.mode("overwrite")
+    if fmt == "json":
+        w.option("compression", "gzip").json(path)
+    else:
+        w.parquet(path)
 
 
-def read_cdc_log(spark: SparkSession, path: str) -> DataFrame:
+def read_cdc_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "json":
+        return spark.read.schema(CDC_JSON_SCHEMA).json(path)
     return spark.read.parquet(path)
 
 
-def read_cdc_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None):
-    """File-source streaming read of a CDC log directory (binlog tail).
+def read_cdc_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
+):
+    """File-source streaming read of a CDC log directory (binlog tail);
+    parquet or Debezium-style JSON lines.
 
     Reference analogue: the 5s poll ticker
     (``realtime_performance_monitor.go:287-303``) — here the micro-batch
@@ -148,8 +164,10 @@ def read_cdc_stream(spark: SparkSession, path: str, max_files_per_trigger: int |
     (reference's MaxStatements/MaxTables caps,
     ``performance_schema_adapter.go:602-619``).
     """
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
+    if fmt == "json":
+        reader = spark.readStream.schema(CDC_JSON_SCHEMA)
+    else:
+        reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    return reader.json(path) if fmt == "json" else reader.parquet(path)

@@ -42,7 +42,7 @@ def replay_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     lineage: LineageRecorder | None = None,
-    hot_threshold: int = 100_000,
+    hot_threshold: int | None = None,
     on_batch: Callable[[DataFrame, int, MergeStats], None] | None = None,
 ):
     """Replay a file-backed CDC log into ``table``.
@@ -57,9 +57,17 @@ def replay_stream(
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
-        # salted two-level pre-compaction tames hot-conversation storms
-        compacted = compact_lww_salted(batch, hot_threshold=hot_threshold)
-        st = table.merge_upsert(compacted, epoch_id=int(epoch_id), query_id=query_id)
+        # merge_upsert's winner selection is a fixed-width hash aggregate
+        # (map-side combined), so hot-conversation update storms collapse
+        # before the shuffle and the default path needs no pre-compaction.
+        # Pass hot_threshold to opt into the explicit salted two-level
+        # pre-compaction (operators/skew.py) for pathological cases.
+        prepared = (
+            compact_lww_salted(batch, hot_threshold=hot_threshold)
+            if hot_threshold is not None
+            else batch
+        )
+        st = table.merge_upsert(prepared, epoch_id=int(epoch_id), query_id=query_id)
         st.duration_ms = int((time.monotonic() - t0) * 1000)
         stats.append(st)
         if lineage is not None:
@@ -91,7 +99,7 @@ def replay_batch(
     epochs: int = 1,
     query_id: str = "cdc-replay-batch",
     order_col: str = "seq",
-    hot_threshold: int = 100_000,
+    hot_threshold: int | None = None,
     lineage: LineageRecorder | None = None,
 ) -> list[MergeStats]:
     """Bounded batch replay: split the log into ``epochs`` contiguous seq
@@ -108,8 +116,12 @@ def replay_batch(
         chunk = log.filter(
             (log[order_col] >= lo + e * span) & (log[order_col] < lo + (e + 1) * span)
         )
-        compacted = compact_lww_salted(chunk, hot_threshold=hot_threshold)
-        st = table.merge_upsert(compacted, epoch_id=e, query_id=query_id)
+        prepared = (
+            compact_lww_salted(chunk, hot_threshold=hot_threshold)
+            if hot_threshold is not None
+            else chunk
+        )
+        st = table.merge_upsert(prepared, epoch_id=e, query_id=query_id)
         stats.append(st)
         if lineage is not None:
             lineage.record(st, query_id=query_id)
