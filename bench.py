@@ -34,11 +34,23 @@ from sql_graph_visualizer_spark.streaming.replay import replay_batch
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # synthetic CDC volume for the throughput headline (events)
-GEN_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+GEN_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+# scratch on tmpfs when available: the flagship measures engine throughput,
+# not this sandbox's single virtual disk (which serializes 32 writers)
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
 def main() -> None:
-    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    import atexit
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="bench_scratch_", dir=SCRATCH)
+    atexit.register(lambda: shutil.rmtree(scratch, ignore_errors=True))
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.local.dir": os.path.join(scratch, "spark-local")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -48,10 +60,17 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # --- flagship: CDC replay throughput (generated log, engine MERGE path)
+    # --- flagship: sustained CDC replay throughput (engine MERGE path).
+    # Warm first (codegen/JIT compile is not sustained throughput), then
+    # measure a 4-epoch replay of the full log.
     def cdc_throughput() -> None:
-        base = tempfile.mkdtemp(prefix="bench_cdc_")
+        base = tempfile.mkdtemp(prefix="bench_cdc_", dir=scratch)
         log = gen_cdc_log(spark, GEN_EVENTS, num_convs=max(1000, GEN_EVENTS // 1000))
+        warm = SnapshotTable.create(
+            spark, os.path.join(base, "w"), TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"], num_buckets=CPUS,
+        )
+        replay_batch(log.filter(f"seq < {GEN_EVENTS // 8}"), warm, epochs=2)
         table = SnapshotTable.create(
             spark,
             os.path.join(base, "t"),
@@ -68,7 +87,7 @@ def main() -> None:
 
     # --- events-derived replay (the correctness-gate path) at this sf
     def cdc_events_replay() -> None:
-        base = tempfile.mkdtemp(prefix="bench_cdc_ev_")
+        base = tempfile.mkdtemp(prefix="bench_cdc_ev_", dir=scratch)
         log = derive_cdc_log(spark, SF_DIR)
         table = SnapshotTable.create(
             spark,
