@@ -207,6 +207,64 @@ def q_graph_uses_tool_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_conv_edges_arrow(state).filter(F.col("rel_type") == "USES_TOOL")
 
 
+def q_graph_nodes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-API parity: NodesByType label scan (neo4j/repository.go:239-265,
+    resolver schema.resolvers.go:77-109) — turn nodes of role='tool'."""
+    state = _replayed(spark, sf_dir, "batch").read()
+    return state.filter(F.col("role") == "tool").select(
+        F.concat(F.lit("Turn:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")).alias("node_id"),
+        "conv_id",
+        "turn_idx",
+        "tool",
+    )
+
+
+def q_graph_search_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-API parity: SearchNodes substring search over properties
+    (schema.resolvers.go:190-221, Cypher CONTAINS) — turns whose text
+    contains a marker."""
+    state = _replayed(spark, sf_dir, "batch").read()
+    return state.filter(F.col("text").contains('"k": 7')).select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def q_stream_qps_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: QPS derivation per interval (Σ count / interval seconds,
+    realtime_performance_monitor.go:406-419) as a tumbling-window agg."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            (F.col("n_events") / 3600.0).alias("events_per_sec"),
+        )
+    )
+
+
+def q_hotspot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: hotspot scoring ladder + threshold + sort (performance_analyzer
+    .go:134-187,813-841): per user, error-rate and volume components,
+    clamped weighted score, keep score > 50, order desc."""
+    e = _read(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+        _dsum("value").alias("total_value"),
+    )
+    err_comp = F.least(F.col("n_err") / F.col("n") * 5.0, F.lit(1.0))
+    vol_comp = F.least(F.col("n") / 100.0, F.lit(1.0))
+    score = F.round((0.6 * err_comp + 0.4 * vol_comp) * 100.0, 4)
+    return (
+        per_user.withColumn("score", score)
+        .filter(F.col("score") > 50.0)
+        .select("user_id", "n", "n_err", "score")
+        .orderBy(F.desc("score"), "user_id")
+    )
+
+
 _NODE_RULES = [
     NodeRule(
         name="customer_nodes",
@@ -558,6 +616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
         "graph_rules_nodes": q_graph_rules_nodes,
         "graph_rules_edges": q_graph_rules_edges,
+        "graph_nodes_by_type": q_graph_nodes_by_type,
+        "graph_search_nodes": q_graph_search_nodes,
+        # analyzer / monitoring analytics
+        "stream_qps_per_hour": q_stream_qps_per_hour,
+        "hotspot_scores": q_hotspot_scores,
         # relational operator families (SURVEY §2.2-2.8)
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_top10": q_tpch_q3_top10,
@@ -650,6 +713,35 @@ FROM winners WHERE op <> 'delete'
 SELECT 'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
        'Tool:' || tool AS dst, 'USES_TOOL' AS rel_type, turn_idx
 FROM winners WHERE op <> 'delete' AND tool IS NOT NULL
+""",
+        "graph_nodes_by_type": _WINNERS
+        + """
+SELECT 'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS node_id,
+       conv_id, turn_idx, tool
+FROM winners WHERE op <> 'delete' AND role = 'tool'
+""",
+        "graph_search_nodes": _WINNERS
+        + """
+SELECT conv_id, turn_idx, text
+FROM winners WHERE op <> 'delete' AND contains(text, '"k": 7')
+""",
+        "stream_qps_per_hour": """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       count(*) / 3600.0 AS events_per_sec
+FROM events GROUP BY 1
+""",
+        "hotspot_scores": """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+    CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n, n_err,
+  round((0.6 * least(n_err / n * 5.0, 1.0) + 0.4 * least(n / 100.0, 1.0)) * 100.0, 4) AS score
+FROM per_user
+WHERE round((0.6 * least(n_err / n * 5.0, 1.0) + 0.4 * least(n / 100.0, 1.0)) * 100.0, 4) > 50.0
 """,
         "graph_rules_nodes": """
 SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS node_id,
