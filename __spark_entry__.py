@@ -207,6 +207,33 @@ def q_graph_uses_tool_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_conv_edges_arrow(state).filter(F.col("rel_type") == "USES_TOOL")
 
 
+def q_graph_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained edges table (GraphSync: per-epoch diff +
+    MERGE of touched conversations only) — must equal the full rebuild."""
+    from sql_graph_visualizer_spark.streaming.graph_sync import GraphSync
+
+    key = (sf_dir, "graphsync_edges")
+    if key not in _TABLES or not SnapshotTable.exists(_TABLES[key]):
+        base = tempfile.mkdtemp(prefix="sgv_gsync_")
+        log = derive_cdc_log(spark, sf_dir)
+        table = SnapshotTable.create(
+            spark, os.path.join(base, "t"), TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"], num_buckets=16,
+        )
+        gs = GraphSync(spark, os.path.join(base, "edges"), table)
+        bounds = log.agg(F.min("seq"), F.max("seq")).collect()[0]
+        lo, hi = int(bounds[0]), int(bounds[1])
+        span = max(1, (hi - lo + 4) // 4)
+        for e in range(4):
+            chunk = log.filter(
+                (F.col("seq") >= lo + e * span) & (F.col("seq") < lo + (e + 1) * span)
+            )
+            st = table.merge_upsert(chunk, epoch_id=e, query_id="gsync")
+            gs.sync(chunk, e, st)
+        _TABLES[key] = os.path.join(base, "edges")
+    return SnapshotTable(spark, _TABLES[key]).read()
+
+
 def q_graph_nodes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-API parity: NodesByType label scan (neo4j/repository.go:239-265,
     resolver schema.resolvers.go:77-109) — turn nodes of role='tool'."""
@@ -616,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
         "graph_rules_nodes": q_graph_rules_nodes,
         "graph_rules_edges": q_graph_rules_edges,
+        "graph_edges_incremental": q_graph_edges_incremental,
         "graph_nodes_by_type": q_graph_nodes_by_type,
         "graph_search_nodes": q_graph_search_nodes,
         # analyzer / monitoring analytics
@@ -712,6 +740,17 @@ FROM winners WHERE op <> 'delete'
         + """
 SELECT 'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
        'Tool:' || tool AS dst, 'USES_TOOL' AS rel_type, turn_idx
+FROM winners WHERE op <> 'delete' AND tool IS NOT NULL
+""",
+        "graph_edges_incremental": _WINNERS
+        + """
+SELECT 'Conversation:' || conv_id AS src,
+       'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS dst,
+       'HAS_TURN' AS rel_type, conv_id, turn_idx
+FROM winners WHERE op <> 'delete'
+UNION ALL
+SELECT 'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       'Tool:' || tool, 'USES_TOOL', conv_id, turn_idx
 FROM winners WHERE op <> 'delete' AND tool IS NOT NULL
 """,
         "graph_nodes_by_type": _WINNERS

@@ -1,0 +1,122 @@
+"""Incremental graph materialization: keep derived node/edge tables in
+sync with the transcripts table, epoch by epoch.
+
+The reference's signature loop re-derives metric edges every tick by
+deleting and re-creating them (``simple_metrics_injector.go:170-213``)
+— full recompute per tick. Here the derived graph is maintained
+incrementally (SURVEY §7.1 stage 7): each epoch recomputes edges ONLY
+for the conversations the batch touched, diffs them against the edge
+table's current rows for those conversations, and MERGEs
+updates + tombstones through the same epoch-fenced ``merge_upsert``
+path as the data — so the graph tables inherit exactly-once semantics
+and resume correctly after crash-replay.
+
+Work per epoch ∝ touched conversations, never graph size: at 10^10
+events the edge table is huge but an epoch touches a bounded set of
+``conv_id``s (the batch's key range), and the diff reads only those via
+a broadcast semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql_graph_visualizer_spark.lake.snapshot_table import MergeStats, SnapshotTable
+
+EDGE_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("rel_type", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ]
+)
+
+
+def derive_conv_edges(state: DataFrame) -> DataFrame:
+    """conv→turn HAS_TURN and turn→tool USES_TOOL edges from (a slice of)
+    the transcripts state — pure column expressions (the Arrow-UDF twin
+    lives in plans/graph_builder.build_conv_edges_arrow; tests assert
+    equality)."""
+    turn_id = F.concat(F.lit("Turn:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    has_turn = state.select(
+        F.concat(F.lit("Conversation:"), F.col("conv_id")).alias("src"),
+        turn_id.alias("dst"),
+        F.lit("HAS_TURN").alias("rel_type"),
+        "conv_id",
+        "turn_idx",
+    )
+    uses_tool = state.filter(F.col("tool").isNotNull()).select(
+        turn_id.alias("src"),
+        F.concat(F.lit("Tool:"), F.col("tool")).alias("dst"),
+        F.lit("USES_TOOL").alias("rel_type"),
+        "conv_id",
+        "turn_idx",
+    )
+    return has_turn.unionByName(uses_tool)
+
+
+class GraphSync:
+    """Maintains a derived edges SnapshotTable incrementally.
+
+    Wire ``sync`` as the ``on_batch`` callback of ``replay_stream`` /
+    call it after each ``merge_upsert`` epoch. Edge identity =
+    ``(src, dst, rel_type)``; versions are fenced per epoch, so crash
+    re-delivery of an epoch is a no-op (same epoch id is skipped by the
+    table's fence; stale epochs lose LWW on the synthetic seq).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, transcripts: SnapshotTable):
+        self.spark = spark
+        self.transcripts = transcripts
+        if SnapshotTable.exists(path):
+            self.edges = SnapshotTable(spark, path)
+        else:
+            self.edges = SnapshotTable.create(
+                spark,
+                path,
+                EDGE_TABLE_SCHEMA,
+                key_cols=["src", "dst", "rel_type"],
+                bucket_col="src",
+                num_buckets=8,
+            )
+
+    def sync(self, batch: DataFrame, epoch_id: int, st: MergeStats | None = None) -> MergeStats:
+        """Diff-and-merge the edges of the conversations ``batch`` touched.
+
+        new  = edges derived from the post-merge state of touched convs
+        old  = edge table's current rows for touched convs
+        ops  = upsert(new) + delete(old − new)
+
+        Versions are stamped with the transcripts table's snapshot
+        version (monotone in APPLICATION order), not the epoch id: under
+        out-of-order epochs a later-applied sync observed newer state and
+        must win LWW even if its epoch id is smaller.
+        """
+        touched = batch.select("conv_id").distinct()
+        state = self.transcripts.read().join(
+            F.broadcast(touched), on="conv_id", how="left_semi"
+        )
+        new_edges = derive_conv_edges(state)
+        old_edges = self.edges.read().join(
+            F.broadcast(touched), on="conv_id", how="left_semi"
+        )
+        keys = ["src", "dst", "rel_type"]
+        gone = old_edges.select(*EDGE_TABLE_SCHEMA.fieldNames()).join(
+            new_edges.select(*keys), on=keys, how="left_anti"
+        )
+        version = int(
+            st.snapshot_version if st is not None else self.transcripts.manifest()["version"]
+        )
+        events = new_edges.withColumn("op", F.lit("update")).unionByName(
+            gone.withColumn("op", F.lit("delete"))
+        ).withColumn("seq", F.lit(version).cast("long"))
+        return self.edges.merge_upsert(
+            events, epoch_id=int(epoch_id), query_id="graph-sync"
+        )
+
+    def read(self) -> DataFrame:
+        return self.edges.read()
