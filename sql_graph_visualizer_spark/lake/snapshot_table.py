@@ -138,10 +138,20 @@ class SnapshotTable:
         with open(os.path.join(self.path, _HINT)) as f:
             return int(f.read().strip())
 
-    def manifest(self) -> dict[str, Any]:
-        v = self._current_version()
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        """Current manifest, or a historical one for time travel (the
+        Iceberg `VERSION AS OF` analogue — any unexpired snapshot is a
+        complete, immutable description of the table at that commit)."""
+        v = self._current_version() if version is None else int(version)
         with open(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")) as f:
             return json.load(f)
+
+    def versions(self) -> list[int]:
+        """All retained snapshot versions (ascending)."""
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        return sorted(
+            int(f[1:9]) for f in os.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
+        )
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Atomic commit: O_EXCL manifest create (optimistic lock), then
@@ -191,13 +201,15 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         manifest: dict[str, Any] | None = None,
         system: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned — the Iceberg
         partition-pruning analogue used by MERGE). ``manifest`` lets an
         in-flight commit read against its own (evolved) schema;
         ``system=True`` exposes tombstones and the ``_seq``/``_deleted``
-        system columns (the MERGE path needs them)."""
-        m = manifest if manifest is not None else self.manifest()
+        system columns (the MERGE path needs them); ``version`` time-travels
+        to a retained historical snapshot."""
+        m = manifest if manifest is not None else self.manifest(version)
         entries: list[dict[str, Any]] = []
         for b, fs in m["files"].items():
             if buckets is None or int(b) in buckets:

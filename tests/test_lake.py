@@ -134,3 +134,25 @@ def test_expire_snapshots_keeps_current_state(spark, tmp_path):
     removed = t.expire_snapshots(keep_last=1)
     assert removed >= 2
     assert _sorted_state(t) == before
+
+
+def test_time_travel_reads_past_snapshots(spark, tmp_path):
+    """Iceberg `VERSION AS OF` analogue: every retained snapshot is a
+    complete immutable view; reading an old version reproduces the table
+    state as of that commit."""
+    from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log
+    from sql_graph_visualizer_spark.operators.compaction import final_state
+
+    log = gen_cdc_log(spark, 900, num_convs=6, turns_per_conv=5)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    first = log.filter("seq < 450")
+    t.merge_upsert(first, epoch_id=0, query_id="q")
+    v1 = t.manifest()["version"]
+    t.merge_upsert(log.filter("seq >= 450"), epoch_id=1, query_id="q")
+
+    def rows(df):
+        return sorted((r.conv_id, r.turn_idx, r.text) for r in df.select("conv_id", "turn_idx", "text").collect())
+
+    assert rows(t.read(version=v1)) == rows(final_state(first, payload_cols=("role", "text", "tool", "ts")).select("conv_id", "turn_idx", "text"))
+    assert rows(t.read()) == rows(final_state(log, payload_cols=("role", "text", "tool", "ts")).select("conv_id", "turn_idx", "text"))
+    assert v1 in t.versions()
