@@ -64,9 +64,35 @@ from sql_graph_visualizer_spark.sources.cdc_gen import write_cdc_log_dir
 # ---------------------------------------------------------------- helpers
 
 _TABLES: dict[tuple[str, str], str] = {}  # (sf_dir, variant) -> table path
+_PYFILES_SENT: set[str] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (the
+    ``spark-submit --py-files`` deployment model): Arrow-UDF closures
+    reference package modules, which workers must be able to import no
+    matter what the driver's cwd/sys.path is."""
+    ctx = spark.sparkContext
+    app = ctx.applicationId
+    if app in _PYFILES_SENT:
+        return
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"sgv_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(root, "sql_graph_visualizer_spark")
+        for dirpath, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    ctx.addPyFile(zpath)
+    _PYFILES_SENT.add(app)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -81,6 +107,7 @@ def _replayed(spark: SparkSession, sf_dir: str, variant: str = "batch") -> Snaps
     """Replay the events-derived CDC log into a SnapshotTable through the
     real engine path (LWW compaction → salted repartition → epoch-fenced
     MERGE); cached per (sf_dir, variant) within the process."""
+    _ensure_pyfiles(spark)
     key = (sf_dir, variant)
     if key in _TABLES and SnapshotTable.exists(_TABLES[key]):
         return SnapshotTable(spark, _TABLES[key])
