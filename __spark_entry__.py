@@ -26,9 +26,11 @@ from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
 from sql_graph_visualizer_spark.operators.compaction import compact_lww, final_state
 from sql_graph_visualizer_spark.operators.dedup import (
     dedup_exact,
+    minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    simhash_oracle_sql,
 )
 from sql_graph_visualizer_spark.operators.multimodal import (
     decode_media,
@@ -597,15 +599,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup pairs (xxhash64 signatures — not oracle-SQL
-    expressible; driver records rows-only)."""
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.5)
+    """Approximate near-dup pairs via banded MinHash LSH, portable hash
+    family — the DuckDB oracle recomputes the ENTIRE pipeline (signatures,
+    banding, candidate set, estimated Jaccard) value-for-value. The
+    xxhash64 default family (same plan shape, ~2× faster hashing) is what
+    bench.py measures."""
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5, portable=True
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check). max_hamming=3 is the
-    regime where 4-chunk banding is provably complete (pigeonhole)."""
-    return simhash_near_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs, portable 48-bit family (oracle recomputes
+    token hashes, bit sums, packing, chunk banding and Hamming distances
+    exactly). max_hamming=3 is the regime where 4-chunk banding is
+    provably complete (pigeonhole)."""
+    return simhash_near_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=3, portable=True
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,9 +649,15 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via multi-probe random-hyperplane LSH (rows-only)."""
+    """ANN top-k via multi-probe random-hyperplane LSH. Candidates are
+    re-ranked by EXACT cosine, so with full recall on the fixture the
+    output equals exact brute-force top-k — the oracle is therefore the
+    same exact-cosine SQL as sim_cosine_topk, making end-to-end recall
+    itself the value-hash gate (a recall miss = hash mismatch)."""
     e = _read(spark, sf_dir, "embeddings")
-    got = lsh_topk(e, _queries_df(spark, sf_dir), dim=64, k=5, bits=8, tables=8)
+    got = lsh_topk(
+        e, _queries_df(spark, sf_dir), dim=64, k=5, bits=8, tables=12, probe_hamming=2
+    )
     return got.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -914,7 +931,8 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
 FROM orders GROUP BY 1
 """,
         "json_extract_props": """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   count(*) AS n_events
 FROM events GROUP BY event_type
 """,
@@ -1017,7 +1035,14 @@ SELECT media_id, width, height,
   CAST(floor(height * least(224.0 / width, 224.0 / height, 1.0)) AS INTEGER) AS target_h
 FROM dims
 """,
-        "sim_cosine_topk": """
+        "dedup_minhash_lsh": minhash_lsh_oracle_sql(threshold=0.5),
+        "dedup_simhash": simhash_oracle_sql(max_hamming=3),
+        "sim_lsh_ann": _COSINE_TOPK_SQL,
+        "sim_cosine_topk": _COSINE_TOPK_SQL,
+    }
+
+
+_COSINE_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
 ), scored AS (
@@ -1036,5 +1061,4 @@ WITH q AS (
 )
 SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 5
-""",
-    }
+"""

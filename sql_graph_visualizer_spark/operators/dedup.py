@@ -118,6 +118,44 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------ portable hash family
+# The default signatures hash with Spark's xxhash64 (fastest JVM path),
+# which no external SQL engine reproduces — so hash-based outputs would
+# be unverifiable by an independent oracle. The *portable* family below
+# is computable identically in Spark and ANSI-ish SQL (DuckDB syntax
+# shown), so an oracle can recompute the full LSH pipeline — signatures,
+# banding, candidate set, similarity values — bit for bit:
+#
+#   base  H(s): Spark  conv(substring(md5(s),1,15),16,10)::long
+#               DuckDB CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+#         (60-bit, non-negative — identical in both engines)
+#   slots h_i(x) = (a_i * (H mod p) + b_i) mod p, p = 2^31-1
+#         (the classic universal family; products < 2^62, so the
+#         arithmetic overflows in neither engine)
+#
+# Statistical quality is equivalent; the JVM cost is ~2× xxhash64 (md5 +
+# string slice), so the default stays xxhash64 and `portable=True` is the
+# verification twin with the SAME plan shape (explode → hash-agg → band
+# join) — what the driver's DuckDB gate checks end to end.
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+SIMHASH_PORTABLE_BITS = 48  # bits 0..47 of the 60-bit portable hash
+
+
+def mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for h_i(x) = (a_i*x + b_i) mod p —
+    fixed literals shared by the Spark plan and the oracle SQL."""
+    return [
+        (((2 * i + 1) * 1_299_721) % MINHASH_P, (i * 7_919 + 1) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def portable_hash60(col: F.Column) -> F.Column:
+    """60-bit cross-engine hash (see module comment for the DuckDB twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3) -> F.Column:
     """MinHash signature as array<long>: slot i = min over shingles of
     xxhash64(shingle, salt=i), as a single column expression.
@@ -139,23 +177,38 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signatures the scalable way: explode shingles, one
     groupBy(doc) computing all ``num_hashes`` mins at once — stays inside
     whole-stage codegen and gets map-side partial aggregation, so an
     update-heavy 100 TB corpus shuffles only (id, 64 longs) per doc.
-    Same values as ``minhash_signature`` (min over an identical hash set);
-    docs with no shingles (< n words) drop out instead of producing
-    all-NULL signatures that spuriously collide."""
+    The slots form a different (re-mixed) hash family than
+    ``minhash_signature`` — xxhash64(xxhash64(s), i) vs xxhash64(s, i) —
+    with equivalent statistical properties but NOT equal values; don't mix
+    signatures from the two paths. Docs with no shingles (< n words) drop
+    out instead of producing all-NULL signatures that spuriously collide.
+
+    ``portable=True`` swaps in the cross-engine hash family (see module
+    comment) — same plan shape, oracle-recomputable values."""
     # hash the shingle string ONCE to a long, then derive the k slots by
     # re-mixing the 8-byte value — k× cheaper than k string hashes, same
     # uniformity (xxhash64 of independent salts over a hash value)
+    base = (
+        (portable_hash60(F.col("s")) % MINHASH_P) if portable else F.xxhash64("s")
+    )
     toks = (
         spread(docs)
         .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("s"))
-        .select("id", F.xxhash64("s").alias("sh"))
+        .select("id", base.alias("sh"))
     )
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    if portable:
+        aggs = [
+            F.min((F.lit(a) * F.col("sh") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(mh_coeffs(num_hashes))
+        ]
+    else:
+        aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     return (
         toks.groupBy("id")
         .agg(*aggs)
@@ -171,6 +224,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate Jaccard-similar pairs via banded MinHash LSH.
 
@@ -181,6 +235,12 @@ def minhash_lsh_pairs(
 
     Scale path: signatures are one narrow row per doc; the bucket join
     shuffles only (band, bucket-hash, id); no all-pairs stage exists.
+
+    Cache lifetime: the signature DataFrame is ``persist()``-ed because
+    the self-join would otherwise recompute the shingle pipeline twice;
+    the blocks live until the session evicts them (LRU) or the caller
+    calls ``spark.catalog.clearCache()``. Long-lived sessions running
+    many dedup passes should materialize signatures to a table instead.
     """
     r = num_hashes // bands
     # persist: the self-join's two aliases would otherwise recompute the
@@ -188,23 +248,53 @@ def minhash_lsh_pairs(
     # (id, k longs) — a fraction of a percent of corpus bytes, so this is
     # also the right call at 100 TB (or materialize them to a table).
     sig = minhash_signatures(
-        docs.filter(F.length(F.col(text_col)) > 0), id_col, text_col, num_hashes, shingle_n
+        docs.filter(F.length(F.col(text_col)) > 0),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_n,
+        portable=portable,
     ).persist()
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r), b).alias("bucket")
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if portable:
+        # oracle-recomputable banding: the band key is the r raw slot
+        # values themselves (no bucket hash an external engine would have
+        # to reproduce). Join-key width is r longs instead of one — fine:
+        # the banded row is still ∝ docs × bands.
+        slot_keys = [f"k{j}" for j in range(r)]
+        banded = sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        *[
+                            F.element_at("sig", b * r + j + 1).alias(f"k{j}")
+                            for j in range(r)
+                        ],
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", "sig", "bb.*")
+        join_keys = ["band", *slot_keys]
+    else:
+        banded = sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r), b).alias("bucket")
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        join_keys = ["band", "bucket"]
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, on=["band", "bucket"])
+        a.join(b, on=join_keys)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("a_id"),
@@ -227,26 +317,35 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
 ) -> DataFrame:
-    """Per-doc 64-bit SimHash computed the scalable way: explode tokens,
-    one groupBy(doc) aggregating 64 signed bit-sums at once (map-side
-    combine), then pack bits. One shuffle of (id, 64 ints)."""
-    toks = spread(docs).select(
+    """Per-doc SimHash computed the scalable way: explode tokens, one
+    groupBy(doc) aggregating all signed bit-sums at once (map-side
+    combine), then pack bits. One shuffle of (id, nbits ints).
+
+    Default: 64 bits from xxhash64. ``portable=True``: 48 bits from the
+    cross-engine hash family (see module comment) — every step (token
+    hash, bit sums, sign packing) is integer arithmetic an external SQL
+    oracle recomputes exactly. Empty texts are dropped in portable mode
+    (their single empty token carries no signal)."""
+    nbits = SIMHASH_PORTABLE_BITS if portable else 64
+    src = docs.filter(F.length(F.col(text_col)) > 0) if portable else docs
+    toks = spread(src).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, 1)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_hash60(F.col("tok")) if portable else F.xxhash64("tok"))
     sums = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
+    weight = lambda b: 2**b if (portable or b < 63) else -(2**63)  # noqa: E731
     packed = sums.select(
         "id",
         F.aggregate(
-            F.array(*[F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long")) for b in range(64)]),
+            F.array(*[F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * weight(b)).otherwise(F.lit(0).cast("long")) for b in range(nbits)]),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("simhash"),
@@ -259,12 +358,17 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split 64 bits into 4 16-bit
-    chunks — any pair within Hamming distance 3 shares ≥1 exact chunk
-    (pigeonhole), so candidates come from 4 equi-joins, then exact
+    """Near-dup pairs by SimHash banding: split the signature into 4
+    equal chunks (16 bits each for the 64-bit default, 12 for the 48-bit
+    portable family) — any pair within Hamming distance 3 shares ≥1 exact
+    chunk (pigeonhole), so candidates come from 4 equi-joins, then exact
     Hamming verification via bit_count(xor)."""
-    sigs = simhash_signatures(docs, id_col, text_col).persist()
+    sigs = simhash_signatures(docs, id_col, text_col, portable=portable).persist()
+    nbits = SIMHASH_PORTABLE_BITS if portable else 64
+    chunk_bits = nbits // 4
+    mask = (1 << chunk_bits) - 1
     # chunk offsets are static → plain Python loop (shiftright needs a
     # literal int for numBits, not a Column)
     chunks = sigs.select(
@@ -275,8 +379,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for c in range(4)
@@ -301,3 +405,100 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# ------------------------------------------------------------ oracle SQL
+# ANSI-ish (DuckDB-dialect) recomputations of the *portable* pipelines —
+# the independent verification twins the driver's correctness gate runs.
+# Generated from the same constants (mh_coeffs, MINHASH_P,
+# SIMHASH_PORTABLE_BITS) as the Spark plans, so the two can never drift.
+
+_NORM_CTE = r"""
+norm AS (
+  SELECT doc_id AS id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE length(text) > 0
+)"""
+
+
+def minhash_lsh_oracle_sql(
+    threshold: float = 0.7, num_hashes: int = 64, bands: int = 16, shingle_n: int = 3
+) -> str:
+    """DuckDB SQL computing exactly minhash_lsh_pairs(..., portable=True)."""
+    assert shingle_n == 3, "oracle template is written for 3-gram shingles"
+    r = num_hashes // bands
+    p = MINHASH_P
+    slot_mins = ",\n    ".join(
+        f"min(({a} * hm + {b}) % {p}) AS h{i}" for i, (a, b) in enumerate(mh_coeffs(num_hashes))
+    )
+    sig_list = ", ".join(f"h{i}" for i in range(num_hashes))
+    band_keys = ",\n    ".join(f"sig[{r}*band + {j + 1}] AS k{j}" for j in range(r))
+    join_keys = ", ".join(["band"] + [f"k{j}" for j in range(r)])
+    return rf"""
+WITH {_NORM_CTE.strip()}, words AS (
+  SELECT id, regexp_split_to_array(t, ' ') AS w FROM norm
+), grams AS (
+  SELECT id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM words WHERE len(w) >= 3
+), sh AS (
+  SELECT id, unnest(g) AS s FROM grams
+), hashed AS (
+  SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p} AS hm FROM sh
+), slots AS (
+  SELECT id,
+    {slot_mins}
+  FROM hashed GROUP BY id
+), sigs AS (
+  SELECT id, [{sig_list}] AS sig FROM slots
+), banded AS (
+  SELECT id, sig, band,
+    {band_keys}
+  FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+), cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b USING ({join_keys})
+  WHERE a.id < b.id
+)
+SELECT a_id, b_id,
+  round(len(list_filter(list_zip(sa, sb), pr -> pr[1] = pr[2])) / {num_hashes}.0, 6)
+    AS est_jaccard
+FROM cand
+WHERE len(list_filter(list_zip(sa, sb), pr -> pr[1] = pr[2])) / {num_hashes}.0 >= {threshold}
+"""
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB SQL computing exactly simhash_near_pairs(..., portable=True)."""
+    nbits = SIMHASH_PORTABLE_BITS
+    chunk_bits = nbits // 4
+    chunk_mod = 1 << chunk_bits
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    pack = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits))
+    chunk_div = " ".join(
+        f"WHEN {c} THEN {chunk_mod ** c}" for c in range(4)
+    )
+    return rf"""
+WITH {_NORM_CTE.strip()}, toks AS (
+  SELECT id, unnest(list_distinct(regexp_split_to_array(t, ' '))) AS tok FROM norm
+), hashed AS (
+  SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+), bitsums AS (
+  SELECT id,
+    {bit_sums}
+  FROM hashed GROUP BY id
+), packed AS (
+  SELECT id, CAST({pack} AS BIGINT) AS s FROM bitsums
+), chunks AS (
+  SELECT id, s, chunk, (s // (CASE chunk {chunk_div} END)) % {chunk_mod} AS val
+  FROM packed, (SELECT unnest(generate_series(0, 3)) AS chunk)
+), cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+  FROM chunks a JOIN chunks b USING (chunk, val)
+  WHERE a.id < b.id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""

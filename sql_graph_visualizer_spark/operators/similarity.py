@@ -97,10 +97,11 @@ def lsh_topk(
     exact cosine re-rank on candidates.
 
     Multi-probe: the *query* side also probes every bucket within
-    Hamming distance ``probe_hamming`` of its own signature (flip each
-    bit in turn) — recall rises steeply at the cost of `bits+1`× more
-    broadcast query rows, never more corpus-side work. Corpus rows are
-    bucketed exactly once; only the tiny broadcast side fans out.
+    Hamming distance ``probe_hamming`` (0, 1 or 2) of its own signature
+    (flip each bit, then each bit pair) — recall rises steeply at the
+    cost of up to ``1 + bits + C(bits,2)``× more broadcast query rows,
+    never more corpus-side work. Corpus rows are bucketed exactly once;
+    only the tiny broadcast side fans out.
     """
     from pyspark.sql.window import Window
 
@@ -130,6 +131,8 @@ def lsh_topk(
     probes: list[int] = [0]
     if probe_hamming >= 1:
         probes += [1 << b for b in range(bits)]
+    if probe_hamming >= 2:
+        probes += [(1 << b1) | (1 << b2) for b1 in range(bits) for b2 in range(b1 + 1, bits)]
     q_b = (
         qs.select(
             query_id_col,

@@ -41,7 +41,6 @@ TRANSCRIPT_SCHEMA_V2 = T.StructType(
 
 NUM_CONVS = 100
 NUM_TURNS = 30
-MODEL_FROM_FRACTION = 0.5  # evolution variant: `model` appears at half the log
 
 
 def derive_cdc_log(
@@ -115,9 +114,12 @@ def derive_cdc_log(
 
 def _model_from_seq(spark: SparkSession, sf_dir: str) -> int:
     """seq threshold where the evolved `model` column appears: half the
-    log (computed from data so every sf works)."""
+    log (computed from data so every sf works). Pure integer arithmetic —
+    ``(hi + 1) // 2`` — so the oracle's DuckDB expression is identical;
+    float*0.5 would truncate here but round half-away-from-zero in a
+    DuckDB CAST whenever ``hi`` is even."""
     hi = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("event_id")).collect()[0][0]
-    return int((int(hi) + 1) * MODEL_FROM_FRACTION)
+    return (int(hi) + 1) // 2
 
 
 # --------------------------------------------------------------- oracle SQL
@@ -177,7 +179,7 @@ FINAL_STATE_MODEL_SQL = (
     "WITH "
     + CDC_WINNERS_CTE
     + """,
-half AS (SELECT CAST((max(event_id) + 1) * 0.5 AS BIGINT) AS h FROM events)
+half AS (SELECT (max(event_id) + 1) // 2 AS h FROM events)
 SELECT w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts,
        CASE WHEN w.seq >= half.h AND w.op <> 'delete'
             THEN 'model-' || CAST(w.seq % 3 AS VARCHAR) END AS model

@@ -62,6 +62,45 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert len(found) < 100 * 5
 
 
+def test_minhash_portable_matches_default_recall(spark):
+    """The portable (oracle-recomputable) hash family is a drop-in for the
+    xxhash64 default: same recall property on near-identical docs, and the
+    banding emits the same COLUMNS so the two paths are interchangeable."""
+    docs = _docs(spark).limit(60)
+    words = F.split(F.col("text"), " ")
+    near = docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))))
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(near), threshold=0.5, portable=True)
+    found = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert sum((i, i + 100000) in found for i in range(60)) >= 48
+    assert pairs.columns == ["a_id", "b_id", "est_jaccard"]
+
+
+def test_simhash_portable_exact_copies(spark):
+    docs = _docs(spark).limit(40)
+    exact_copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = simhash_near_pairs(docs.unionByName(exact_copies), max_hamming=3, portable=True)
+    found = {(r.a_id, r.b_id): r.hamming for r in pairs.collect()}
+    assert sum(found.get((i, i + 100000)) == 0 for i in range(40)) == 40
+
+
+def test_dedup_oracle_sql_generators():
+    """The oracle SQL embeds the same constants as the Spark plans."""
+    from sql_graph_visualizer_spark.operators.dedup import (
+        MINHASH_P,
+        mh_coeffs,
+        minhash_lsh_oracle_sql,
+        simhash_oracle_sql,
+    )
+
+    sql = minhash_lsh_oracle_sql(threshold=0.5)
+    a0, b0 = mh_coeffs(1)[0]
+    assert f"({a0} * hm + {b0}) % {MINHASH_P}" in sql
+    assert ">= 0.5" in sql
+    assert "bit_count(xor(sa, sb))" in simhash_oracle_sql(max_hamming=3)
+
+
 def test_simhash_near_pairs(spark):
     docs = _docs(spark).limit(80)
     exact_copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
