@@ -177,6 +177,16 @@ class SnapshotTable:
     def _bucket_expr(self, m: dict[str, Any]) -> Column:
         return F.pmod(F.xxhash64(F.col(m["bucket_col"])), F.lit(m["num_buckets"]))
 
+    def bucket_id(self, col: Column | str | None = None) -> Column:
+        """Public bucket-id expression for THIS table's partitioning —
+        callers use it to derive the bucket set a batch touches and pass
+        it to ``read(buckets=...)`` (Iceberg partition-pruning analogue).
+        ``col`` defaults to the table's bucket column; pass an expression
+        when the bucket value must be derived from other columns."""
+        m = self.manifest()
+        c = F.col(col) if isinstance(col, str) else (col if col is not None else F.col(m["bucket_col"]))
+        return F.pmod(F.xxhash64(c), F.lit(m["num_buckets"]))
+
     def _read_files(self, m: dict[str, Any], entries: list[dict[str, Any]]) -> DataFrame:
         """Read a set of file entries, aligning every historical schema to
         the table's current schema (reader-side evolution)."""

@@ -13,8 +13,13 @@ and resume correctly after crash-replay.
 
 Work per epoch ∝ touched conversations, never graph size: at 10^10
 events the edge table is huge but an epoch touches a bounded set of
-``conv_id``s (the batch's key range), and the diff reads only those via
-a broadcast semi-join.
+``conv_id``s (the batch's key range). Both scans the diff needs — the
+transcripts slice and the current-edges slice — are **bucket-pruned**:
+the batch's conv_ids map to a bounded set of hash buckets (both tables
+bucket on ``conv_id``), so only those buckets' data files are read at
+all; a broadcast semi-join then filters the pruned scan to exactly the
+touched conversations. File IO per epoch is ∝ touched buckets, never
+table size — the same partition-pruning discipline MERGE itself uses.
 """
 
 from __future__ import annotations
@@ -75,12 +80,16 @@ class GraphSync:
         if SnapshotTable.exists(path):
             self.edges = SnapshotTable(spark, path)
         else:
+            # conv_id leads the key (it is functionally determined by src,
+            # so edge identity is unchanged) and is the bucket column:
+            # every edge of a conversation lands in one bucket, which is
+            # what lets sync() prune both scans by the batch's conv_ids.
             self.edges = SnapshotTable.create(
                 spark,
                 path,
                 EDGE_TABLE_SCHEMA,
-                key_cols=["src", "dst", "rel_type"],
-                bucket_col="src",
+                key_cols=["conv_id", "src", "dst", "rel_type"],
+                bucket_col="conv_id",
                 num_buckets=8,
             )
 
@@ -96,12 +105,23 @@ class GraphSync:
         out-of-order epochs a later-applied sync observed newer state and
         must win LWW even if its epoch id is smaller.
         """
-        touched = batch.select("conv_id").distinct()
-        state = self.transcripts.read().join(
+        touched = batch.select("conv_id").distinct().persist()
+        # bucket-prune both scans: the touched conv_ids map to a bounded
+        # bucket set in each table (≤ num_buckets values — one tiny agg
+        # job), so unaffected buckets' files are never opened. The
+        # broadcast semi-join below then trims the pruned scan to exactly
+        # the touched conversations.
+        b = touched.agg(
+            F.collect_set(self.transcripts.bucket_id("conv_id")).alias("tb"),
+            F.collect_set(self.edges.bucket_id("conv_id")).alias("eb"),
+        ).collect()[0]
+        t_buckets = sorted(int(x) for x in b["tb"])
+        e_buckets = sorted(int(x) for x in b["eb"])
+        state = self.transcripts.read(buckets=t_buckets).join(
             F.broadcast(touched), on="conv_id", how="left_semi"
         )
         new_edges = derive_conv_edges(state)
-        old_edges = self.edges.read().join(
+        old_edges = self.edges.read(buckets=e_buckets).join(
             F.broadcast(touched), on="conv_id", how="left_semi"
         )
         keys = ["src", "dst", "rel_type"]
@@ -114,9 +134,12 @@ class GraphSync:
         events = new_edges.withColumn("op", F.lit("update")).unionByName(
             gone.withColumn("op", F.lit("delete"))
         ).withColumn("seq", F.lit(version).cast("long"))
-        return self.edges.merge_upsert(
-            events, epoch_id=int(epoch_id), query_id="graph-sync"
-        )
+        try:
+            return self.edges.merge_upsert(
+                events, epoch_id=int(epoch_id), query_id="graph-sync"
+            )
+        finally:
+            touched.unpersist()
 
     def read(self) -> DataFrame:
         return self.edges.read()
