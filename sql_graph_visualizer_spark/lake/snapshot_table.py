@@ -69,6 +69,10 @@ _SEQ = "_seq"
 _DELETED = "_deleted"
 
 
+def _total_bytes(files: dict[str, list[dict[str, Any]]]) -> int:
+    return sum(int(e.get("bytes", 0)) for fs in files.values() for e in fs)
+
+
 def _physical(schema: T.StructType) -> T.StructType:
     return T.StructType(
         list(schema.fields)
@@ -172,6 +176,19 @@ class SnapshotTable:
     def last_committed_epoch(self, query_id: str) -> int:
         return int(self.manifest()["epochs"].get(query_id, -1))
 
+    def size_stats(self, version: int | None = None) -> dict[str, int]:
+        """Dataset size estimate straight from manifest metadata — no data
+        IO (S8: the reference sums information_schema data_length +
+        index_length, ``mysql/repository.go:492-538``; Iceberg exposes the
+        same as the total-files-size snapshot summary)."""
+        m = self.manifest(version)
+        entries = [e for fs in m["files"].values() for e in fs]
+        return {
+            "total_files": len(entries),
+            "total_bytes": sum(int(e.get("bytes", 0)) for e in entries),
+            "buckets": len(m["files"]),
+        }
+
     # --------------------------------------------------------------- reads
 
     def _bucket_expr(self, m: dict[str, Any]) -> Column:
@@ -251,8 +268,16 @@ class SnapshotTable:
             b = str(int(d.split("=")[1]))
             for fn in sorted(os.listdir(os.path.join(commit_abs, d))):
                 if fn.endswith(".parquet"):
+                    rel = os.path.join(commit_rel, d, fn)
                     out.setdefault(b, []).append(
-                        {"path": os.path.join(commit_rel, d, fn), "schema_id": m["schema_id"]}
+                        {
+                            "path": rel,
+                            "schema_id": m["schema_id"],
+                            # byte size per data file (S8 dataset-size
+                            # estimate, mysql/repository.go:492-538 —
+                            # information_schema data_length analogue)
+                            "bytes": os.path.getsize(os.path.join(self.path, rel)),
+                        }
                     )
         return out
 
@@ -277,6 +302,7 @@ class SnapshotTable:
         order_col: str = "seq",
         evolve: bool = True,
         meta_cols: tuple[str, ...] = ("schema_ver",),
+        broadcast_max_keys: int = 4_000_000,
     ) -> MergeStats:
         """MERGE INTO table USING compact(batch) ON key:
 
@@ -287,6 +313,17 @@ class SnapshotTable:
 
         Copy-on-write over touched buckets only; exactly-once via epoch
         fencing; schema evolution applied before the data commit.
+
+        Assumptions (same contract as ``compact_lww``): ``order_col`` is a
+        batch-wide-unique LSN. Re-delivery of the winning event is fine
+        (collapses to one row); two *different* payloads sharing
+        (key, order) resolve by a nondeterministic ``max_by`` tie-break —
+        a malformed log, not a supported input. Winner filtering uses a
+        broadcast semi-join on the winner LSNs while the winner count
+        (≈8 bytes/key) is at most ``broadcast_max_keys``; above that it
+        falls back to a keyed shuffle semi-join on (key, order), so a
+        mis-configured giant epoch degrades to an extra shuffle instead
+        of a driver OOM.
         """
         t0 = time.monotonic()
         m = self.manifest()
@@ -349,8 +386,18 @@ class SnapshotTable:
             # but correct under out-of-order epochs and event re-delivery
             # (a stale version can never overwrite a newer one).
             payload = [F.col(f.name) for f in table_schema.fields]
-            seqs = winners.select(order_col)
-            survivors = aligned.join(F.broadcast(seqs), on=order_col, how="left_semi")
+            if rows_in <= broadcast_max_keys:
+                seqs = winners.select(order_col)
+                survivors = aligned.join(F.broadcast(seqs), on=order_col, how="left_semi")
+            else:
+                # size-guarded fallback: winner set too large to broadcast —
+                # keyed shuffle semi-join on (key, order) instead (needs no
+                # LSN-uniqueness assumption either)
+                survivors = aligned.join(
+                    winners.select(*key_cols, order_col),
+                    on=[*key_cols, order_col],
+                    how="left_semi",
+                )
             existing = self.read(buckets=affected, manifest=m, system=True)
             existing_events = existing.select(
                 *payload,
@@ -384,6 +431,7 @@ class SnapshotTable:
                 "rows": rows_in,
                 "deletes": deletes,
                 "buckets": len(affected),
+                "total_files_bytes": _total_bytes(files),
             }
             self._write_manifest(m)
             return MergeStats(
@@ -415,7 +463,7 @@ class SnapshotTable:
         m["parent"] = m["version"] - 1
         if epoch_id >= 0:
             m["epochs"][query_id] = epoch_id
-        m["summary"] = {"operation": "append"}
+        m["summary"] = {"operation": "append", "total_files_bytes": _total_bytes(m["files"])}
         self._write_manifest(m)
         return m["version"]
 

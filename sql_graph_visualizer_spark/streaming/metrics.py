@@ -36,10 +36,22 @@ LINEAGE_SCHEMA = T.StructType(
 
 
 class LineageRecorder:
-    """Appends one row per epoch to a metrics SnapshotTable."""
+    """Appends one row per epoch to a metrics SnapshotTable.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``flush_every``: buffer K epochs per commit (default 1 = commit per
+    epoch). Sustained replays at 1 row/epoch otherwise accrete one tiny
+    parquet file + one manifest per epoch — a small-files problem over
+    long runs. Buffered rows are observability data, not source of truth:
+    a crash loses at most ``flush_every - 1`` buffered rows, and on
+    resume the fenced merges re-record those epochs as ``skipped`` rows,
+    so the lineage table still explains what happened. Call ``flush()``
+    (or rely on the replay drivers, which flush at end-of-replay) before
+    reading."""
+
+    def __init__(self, spark: SparkSession, path: str, flush_every: int = 1):
         self.spark = spark
+        self.flush_every = max(1, int(flush_every))
+        self._buffer: list[tuple] = []
         if SnapshotTable.exists(path):
             self.table = SnapshotTable(spark, path)
         else:
@@ -49,7 +61,7 @@ class LineageRecorder:
 
     def record(self, st: MergeStats, query_id: str) -> None:
         eps = (st.rows_in / (st.duration_ms / 1000.0)) if st.duration_ms > 0 else 0.0
-        row = [
+        self._buffer.append(
             (
                 query_id,
                 int(st.epoch_id),
@@ -63,10 +75,22 @@ class LineageRecorder:
                 int(st.snapshot_version),
                 int(time.time() * 1000),
             )
-        ]
-        df = self.spark.createDataFrame(row, LINEAGE_SCHEMA)
-        # fence on the same (query, epoch) so crash-replay can't double-count
-        self.table.append(df, epoch_id=int(st.epoch_id), query_id=f"lineage:{query_id}")
+        )
+        if len(self._buffer) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        """Commit buffered rows in one append, fenced on the max buffered
+        (query, epoch) so crash-replay of the same epochs can't
+        double-count."""
+        if not self._buffer:
+            return
+        rows, self._buffer = self._buffer, []
+        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        query_id = rows[0][0]
+        max_epoch = max(r[1] for r in rows)
+        self.table.append(df, epoch_id=max_epoch, query_id=f"lineage:{query_id}")
 
     def read(self):
+        self.flush()
         return self.table.read()

@@ -83,6 +83,8 @@ def replay_stream(
         writer = writer.trigger(availableNow=True)
         q = writer.start()
         q.awaitTermination()
+        if lineage is not None:
+            lineage.flush()
         return stats
     # sustained mode (the reference's 5s poll loop): hand the live query
     # back so the caller can monitor/stop it; `stats` fills as epochs land
@@ -125,4 +127,6 @@ def replay_batch(
         stats.append(st)
         if lineage is not None:
             lineage.record(st, query_id=query_id)
+    if lineage is not None:
+        lineage.flush()
     return stats

@@ -90,6 +90,55 @@ def test_merge_only_rewrites_touched_buckets(spark, tmp_path):
     assert len(untouched) >= len(m1["files"]) - 1  # all but the touched bucket carried over
 
 
+def test_merge_broadcast_fallback_same_result(spark, tmp_path):
+    """Above broadcast_max_keys the winner filter degrades to a keyed
+    shuffle semi-join — identical final state, no driver-side winner set."""
+    log = gen_cdc_log(spark, 800, num_convs=8, turns_per_conv=6)
+    t1, t2 = _table(spark, tmp_path, "a"), _table(spark, tmp_path, "b")
+    t1.merge_upsert(log, epoch_id=0, query_id="q")
+    st = t2.merge_upsert(log, epoch_id=0, query_id="q", broadcast_max_keys=1)
+    assert st.rows_in > 1  # the fallback path actually ran
+    assert _sorted_state(t1) == _sorted_state(t2)
+
+
+def test_size_stats_tracks_bytes(spark, tmp_path):
+    """S8 dataset-size estimate: manifest-only, matches on-disk bytes
+    (mysql/repository.go:492-538 analogue)."""
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 300, num_convs=4, turns_per_conv=5)
+    t.merge_upsert(log, epoch_id=0, query_id="q")
+    s = t.size_stats()
+    assert s["total_files"] > 0 and s["buckets"] > 0
+    m = t.manifest()
+    on_disk = sum(
+        os.path.getsize(os.path.join(t.path, e["path"]))
+        for fs in m["files"].values()
+        for e in fs
+    )
+    assert s["total_bytes"] == on_disk > 0
+    assert m["summary"]["total_files_bytes"] == on_disk
+
+
+def test_lineage_batched_flush(spark, tmp_path):
+    """flush_every=K commits one lineage file per K epochs (small-files
+    mitigation) without losing or double-counting rows."""
+    from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+    from sql_graph_visualizer_spark.streaming.replay import replay_batch
+
+    log = gen_cdc_log(spark, 600, num_convs=6, turns_per_conv=5)
+    t = _table(spark, tmp_path)
+    rec = LineageRecorder(spark, os.path.join(str(tmp_path), "lin"), flush_every=4)
+    replay_batch(log, t, epochs=4, lineage=rec)
+    rows = rec.read().collect()
+    assert sorted(int(r.epoch_id) for r in rows) == [0, 1, 2, 3]
+    # exactly ONE append commit for all four epochs (create=v1, append=v2)
+    assert rec.table.manifest()["version"] == 2
+    # fenced: re-recording the same epochs then flushing is a no-op
+    rec2 = LineageRecorder(spark, os.path.join(str(tmp_path), "lin"), flush_every=4)
+    replay_batch(log, t, epochs=4, lineage=rec2)  # merges all fenced/skipped
+    assert rec2.read().count() == 4
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     t = _table(spark, tmp_path)
     log = gen_cdc_log(spark, 400, num_convs=5, schema_v2_from=200)
