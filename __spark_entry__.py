@@ -285,6 +285,41 @@ def q_graph_search_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_node_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-API parity: Node(id) point lookup
+    (schema.resolvers.go:111 Node resolver) — one conversation node with
+    its derived properties."""
+    state = _replayed(spark, sf_dir, "batch").read()
+    return (
+        state.filter(F.col("conv_id") == "conv-0042")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.max("ts").alias("last_ts"),
+            F.min("turn_idx").cast("long").alias("first_turn"),
+        )
+        .select(
+            F.concat(F.lit("Conversation:"), F.col("conv_id")).alias("node_id"),
+            "n_turns",
+            "last_ts",
+            "first_turn",
+        )
+    )
+
+
+def q_graph_rels_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-API parity: RelationshipsByType(type, limit)
+    (schema.resolvers.go:144-176) — USES_TOOL page with a deterministic
+    total order, the graph-side LIMIT pushdown."""
+    state = _replayed(spark, sf_dir, "batch").read()
+    edges = build_conv_edges_arrow(state).filter(F.col("rel_type") == "USES_TOOL")
+    return (
+        edges.select("src", "dst", "rel_type")
+        .orderBy("src", "dst")
+        .limit(100)
+    )
+
+
 def q_stream_qps_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: QPS derivation per interval (Σ count / interval seconds,
     realtime_performance_monitor.go:406-419) as a tumbling-window agg."""
@@ -388,6 +423,91 @@ def q_graph_rules_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = _rule_sources(spark, sf_dir)
     nodes = build_nodes(sources, _NODE_RULES)
     return build_edges(sources, nodes, _REL_RULES).select("src", "dst", "rel_type")
+
+
+_RULES_YAML = """
+# reference config.yml shape (transform_rules, config.yml:156-520)
+transform_rules:
+  - name: "building_customers_to_nodes"
+    rule_type: "node"
+    source:
+      type: "query"
+      value: "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'"
+    target_type: "Customer"
+    field_mappings:
+      c_custkey: "id"
+      c_name: "name"
+  - name: "nations_to_nodes"
+    rule_type: "node"
+    source: {type: "table", value: "nation"}
+    target_type: "Nation"
+    field_mappings: {n_nationkey: "id", n_name: "name"}
+  - name: "suppliers_to_nodes"
+    rule_type: "node"
+    source: {type: "table", value: "supplier"}
+    target_type: "Supplier"
+    field_mappings: {s_suppkey: "id", s_name: "name"}
+  - name: "customer_nation"
+    rule_type: "relationship"
+    relationship_type: "BELONGS_TO"
+    direction: "outgoing"
+    source: {type: "table", value: "customer"}
+    source_node: {type: "Customer", key: "c_custkey", target_field: "id"}
+    target_node: {type: "Nation", key: "c_nationkey", target_field: "id"}
+  - name: "supplier_nation"
+    rule_type: "relationship"
+    relationship_type: "LOCATED_IN"
+    direction: "outgoing"
+    source: {type: "table", value: "supplier"}
+    source_node: {type: "Supplier", key: "s_suppkey", target_field: "id"}
+    target_node: {type: "Nation", key: "s_nationkey", target_field: "id"}
+"""
+
+
+def q_graph_rules_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the reference's YAML rule file end to end — parse the
+    config.yml transform_rules shape (rule_loader.parse_rules), resolve
+    query-type sources through Spark SQL, compile to node/edge plans.
+    The query-sourced Customer rule filters to one market segment, so
+    BELONGS_TO edges of other customers are dropped as dangling —
+    endpoint resolution respects the rule-filtered node set."""
+    from sql_graph_visualizer_spark.plans.rule_loader import parse_rules, resolve_sources
+
+    rs = parse_rules(_RULES_YAML)
+    tables = {n: _read(spark, sf_dir, n) for n in ("customer", "nation", "supplier")}
+    sources = resolve_sources(spark, rs, tables)
+    nodes = build_nodes(sources, rs.node_rules)
+    edges = build_edges(sources, nodes, rs.relationship_rules)
+    n_part = nodes.select(
+        F.lit("node").alias("kind"),
+        F.col("node_id").alias("a"),
+        F.element_at("properties", "name").alias("b"),
+        F.col("node_type").alias("t"),
+    )
+    e_part = edges.select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("rel_type").alias("t"),
+    )
+    return n_part.unionByName(e_part)
+
+
+def q_graph_rules_discovered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema auto-discovery (schema_analyzer_service.go:40-81,116-193):
+    rules derived from declared FK metadata — node rules per entity
+    table, FK relationship rules, and the lineitem junction classified
+    as the part↔supplier many-to-many — compiled to the same plans as
+    hand-written rules."""
+    from sql_graph_visualizer_spark.plans.discovery import TPCH_METADATA, discover_rules
+
+    nrules, rrules = discover_rules(TPCH_METADATA)
+    sources = {
+        n: _read(spark, sf_dir, n)
+        for n in ("region", "nation", "customer", "supplier", "part", "lineitem")
+    }
+    nodes = build_nodes(sources, nrules)
+    return build_edges(sources, nodes, rrules).select("src", "dst", "rel_type")
 
 
 # ------------------------------------------------------ relational queries
@@ -515,6 +635,56 @@ def q_agg_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(pris)
     ]
     return o.groupBy("o_orderstatus").agg(*aggs, F.count("*").alias("n_total"))
+
+
+def q_agg_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 completion: equi-width histogram of l_quantity over [0,50]×10
+    bins (ColumnStatistics.Histogram, database_schema.go:326-355)."""
+    from sql_graph_visualizer_spark.operators.stats import equi_width_histogram
+
+    l = _read(spark, sf_dir, "lineitem")
+    return equi_width_histogram(l, "l_quantity", 0.0, 50.0, bins=10)
+
+
+def q_agg_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 completion: top-K frequent values with deterministic tie-break
+    (ColumnStatistics.TopValues)."""
+    from sql_graph_visualizer_spark.operators.stats import top_k_values
+
+    o = _read(spark, sf_dir, "orders")
+    return top_k_values(o, "o_orderpriority", k=3)
+
+
+def q_sample_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: severity-weighted sampling — deterministic arithmetic coin
+    instead of the reference's rand() (simple_metrics_injector.go:266-285)
+    so replays keep the identical sample; the oracle reproduces it."""
+    from sql_graph_visualizer_spark.operators.sampling import (
+        arithmetic_coin,
+        severity_ladder,
+        weighted_sample,
+    )
+
+    e = _read(spark, sf_dir, "events")
+    kept = weighted_sample(
+        e,
+        keep_pct=severity_ladder(F.col("event_type")),
+        key=F.col("event_id"),
+        coin=arithmetic_coin(F.col("event_id")),
+    )
+    return kept.select("event_id", "event_type")
+
+
+def q_cdc_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting over the lineage table
+    (realtime_performance_monitor.go:421-444): warning/critical rows per
+    breached per-epoch metric; idempotent because lineage is fenced."""
+    from sql_graph_visualizer_spark.streaming.alerts import AlertThresholds, alerts_from_lineage
+
+    _replayed(spark, sf_dir, "lineage")
+    rec = LineageRecorder(spark, _TABLES[(sf_dir, "lineage_metrics")])
+    t = AlertThresholds(max_rows_in=1640, max_deletes=170, max_duration_ms=10**9)
+    return alerts_from_lineage(rec.read(), t)
 
 
 def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,15 +851,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_lineage": q_cdc_lineage,
+        "cdc_alerts": q_cdc_alerts,
         # derived graph (signature feature)
         "graph_conv_nodes": q_graph_conv_nodes,
         "graph_has_turn_edges": q_graph_has_turn_edges,
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
         "graph_rules_nodes": q_graph_rules_nodes,
         "graph_rules_edges": q_graph_rules_edges,
+        "graph_rules_yaml": q_graph_rules_yaml,
+        "graph_rules_discovered": q_graph_rules_discovered,
         "graph_edges_incremental": q_graph_edges_incremental,
         "graph_nodes_by_type": q_graph_nodes_by_type,
         "graph_search_nodes": q_graph_search_nodes,
+        "graph_node_by_id": q_graph_node_by_id,
+        "graph_rels_by_type": q_graph_rels_by_type,
         # analyzer / monitoring analytics
         "stream_qps_per_hour": q_stream_qps_per_hour,
         "hotspot_scores": q_hotspot_scores,
@@ -699,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_theta_pairs": q_join_theta_pairs,
         "join_left_outer": q_join_left_outer,
         "agg_column_stats": q_agg_column_stats,
+        "agg_column_histogram": q_agg_column_histogram,
+        "agg_topk_values": q_agg_topk_values,
+        "sample_severity": q_sample_severity,
         "agg_orders_having": q_agg_orders_having,
         "window_top3_orders": q_window_top3_orders,
         "window_lag_events": q_window_lag_events,
@@ -808,6 +986,49 @@ FROM winners WHERE op <> 'delete' AND role = 'tool'
 SELECT conv_id, turn_idx, text
 FROM winners WHERE op <> 'delete' AND contains(text, '"k": 7')
 """,
+        "graph_node_by_id": _WINNERS
+        + """
+SELECT 'Conversation:' || conv_id AS node_id, count(*) AS n_turns,
+       max(ts) AS last_ts, CAST(min(turn_idx) AS BIGINT) AS first_turn
+FROM winners WHERE op <> 'delete' AND conv_id = 'conv-0042'
+GROUP BY conv_id
+""",
+        "graph_rels_by_type": _WINNERS
+        + """
+SELECT src, dst, rel_type FROM (
+  SELECT 'Turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS src,
+         'Tool:' || tool AS dst, 'USES_TOOL' AS rel_type
+  FROM winners WHERE op <> 'delete' AND tool IS NOT NULL
+) ORDER BY src, dst LIMIT 100
+""",
+        "cdc_alerts": "WITH "
+        + CDC_LOG_CTE
+        + """,
+bounds AS (
+  SELECT min(seq) AS lo, (max(seq) - min(seq) + 4) // 4 AS span FROM cdc
+),
+cw AS (
+  SELECT (c.seq - b.lo) // b.span AS epoch_id, c.op
+  FROM cdc c, bounds b
+  QUALIFY row_number() OVER (
+    PARTITION BY (c.seq - b.lo) // b.span, c.conv_id, c.turn_idx
+    ORDER BY c.seq DESC) = 1
+),
+per_epoch AS (
+  SELECT epoch_id, count(*) AS rows_in,
+         count(*) FILTER (op = 'delete') AS deletes
+  FROM cw GROUP BY epoch_id
+)
+SELECT 'cdc-replay-batch' AS query_id, epoch_id, 'rows_in' AS metric,
+       CAST(rows_in AS DOUBLE) AS value, 1640.0 AS threshold,
+       CASE WHEN rows_in > 1640 THEN 'critical' ELSE 'warning' END AS severity
+FROM per_epoch WHERE rows_in > 820
+UNION ALL
+SELECT 'cdc-replay-batch', epoch_id, 'deletes',
+       CAST(deletes AS DOUBLE), 170.0,
+       CASE WHEN deletes > 170 THEN 'critical' ELSE 'warning' END
+FROM per_epoch WHERE deletes > 85
+""",
         "stream_qps_per_hour": """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
@@ -843,6 +1064,43 @@ UNION ALL
 SELECT 'Supplier:' || CAST(s.s_suppkey AS VARCHAR),
        'Nation:' || CAST(s.s_nationkey AS VARCHAR), 'LOCATED_IN'
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+        "graph_rules_yaml": """
+SELECT 'node' AS kind, 'Customer:' || CAST(c_custkey AS VARCHAR) AS a,
+       c_name AS b, 'Customer' AS t
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'node', 'Nation:' || CAST(n_nationkey AS VARCHAR), n_name, 'Nation' FROM nation
+UNION ALL
+SELECT 'node', 'Supplier:' || CAST(s_suppkey AS VARCHAR), s_name, 'Supplier' FROM supplier
+UNION ALL
+SELECT 'edge', 'Customer:' || CAST(c.c_custkey AS VARCHAR),
+       'Nation:' || CAST(c.c_nationkey AS VARCHAR), 'BELONGS_TO'
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'edge', 'Supplier:' || CAST(s.s_suppkey AS VARCHAR),
+       'Nation:' || CAST(s.s_nationkey AS VARCHAR), 'LOCATED_IN'
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+        "graph_rules_discovered": """
+SELECT DISTINCT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+       'Region:' || CAST(n_regionkey AS VARCHAR) AS dst,
+       'REFERENCES_REGION' AS rel_type
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT DISTINCT 'Customer:' || CAST(c_custkey AS VARCHAR),
+       'Nation:' || CAST(c_nationkey AS VARCHAR), 'REFERENCES_NATION'
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT DISTINCT 'Supplier:' || CAST(s_suppkey AS VARCHAR),
+       'Nation:' || CAST(s_nationkey AS VARCHAR), 'REFERENCES_NATION'
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+UNION ALL
+SELECT DISTINCT 'Part:' || CAST(l_partkey AS VARCHAR),
+       'Supplier:' || CAST(l_suppkey AS VARCHAR), 'LINEITEM'
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
 """,
         "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
@@ -884,6 +1142,26 @@ SELECT count(*) AS n_rows,
   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / count(l_quantity) AS avg_qty
 FROM lineitem
+""",
+        "agg_column_histogram": """
+SELECT CAST(least(floor(l_quantity / 5.0), 9) AS INTEGER) AS bin,
+       count(*) AS n, min(l_quantity) AS bin_min, max(l_quantity) AS bin_max
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_quantity >= 0 AND l_quantity <= 50
+GROUP BY 1
+""",
+        "agg_topk_values": """
+SELECT value, n, rank FROM (
+  SELECT o_orderpriority AS value, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS rank
+  FROM orders GROUP BY o_orderpriority
+) WHERE rank <= 3
+""",
+        "sample_severity": """
+SELECT event_id, event_type FROM events
+WHERE ((event_id * 48271 + 11) % 100003) % 100 <
+  CASE event_type WHEN 'error' THEN 100 WHEN 'purchase' THEN 80
+       WHEN 'signup' THEN 50 ELSE 10 END
 """,
         "agg_orders_having": """
 SELECT o_custkey, count(*) AS order_count,
