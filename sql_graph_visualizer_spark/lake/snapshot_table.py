@@ -92,9 +92,27 @@ class MergeStats:
     skipped: bool
     duration_ms: int
     snapshot_version: int
+    # phase breakdown (not persisted to lineage): winner-aggregation job
+    # vs merge-write job — the observability hook for scaling analysis
+    stats_ms: int = 0
+    write_ms: int = 0
 
     def as_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
+
+
+@dataclass
+class PreparedMerge:
+    """Result of the winner-aggregation job (``merge_prepare``) — the
+    schema-independent half of a MERGE, computable before earlier epochs
+    have committed, which is what lets a replay pipeline epoch N+1's
+    aggregation under epoch N's write."""
+
+    winners: DataFrame  # persisted: key_cols + order_col + __del
+    rows_in: int
+    deletes: int
+    affected: list[int]
+    stats_ms: int
 
 
 class SnapshotTable:
@@ -293,6 +311,49 @@ class SnapshotTable:
             m["schema_id"] = new_id
         return m
 
+    def merge_prepare(
+        self, batch: DataFrame, op_col: str = "op", order_col: str = "seq"
+    ) -> PreparedMerge:
+        """The winner-aggregation half of MERGE: one column-pruned scan of
+        the batch (keys, order, op — fixed-width HashAggregate, map-side
+        combined), collecting per-key winners, delete counts and touched
+        buckets. Schema-INDEPENDENT: key/bucket columns never change type
+        under evolution, so this can run for epoch N+1 while epoch N's
+        write is still committing (pipelined replay). Caller passes the
+        result to ``merge_upsert(prepared=...)``, which owns the
+        unpersist."""
+        t0 = time.monotonic()
+        m = self.manifest()
+        key_cols = m["key_cols"]
+        table_schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        types = {f.name: f.dataType for f in table_schema.fields}
+        # cast keys to table types (widened batch ints etc.) so the bucket
+        # hash sees the same binary representation the table writes
+        keyed = batch.withColumns(
+            {k: F.col(k).cast(types[k]) for k in key_cols if k in types}
+        )
+        is_del = (F.col(op_col) == "delete").cast("int")
+        winners = (
+            keyed.groupBy(*key_cols)
+            .agg(
+                F.max(order_col).alias(order_col),
+                F.max_by(is_del, F.col(order_col)).alias("__del"),
+            )
+            .persist()
+        )
+        agg = winners.select(
+            F.count("*").alias("n"),
+            F.sum("__del").alias("d"),
+            F.collect_set(self._bucket_expr(m)).alias("bs"),
+        ).collect()[0]
+        return PreparedMerge(
+            winners=winners,
+            rows_in=int(agg["n"]),
+            deletes=int(agg["d"] or 0),
+            affected=sorted(int(b) for b in agg["bs"]),
+            stats_ms=int((time.monotonic() - t0) * 1000),
+        )
+
     def merge_upsert(
         self,
         batch: DataFrame,
@@ -303,6 +364,7 @@ class SnapshotTable:
         evolve: bool = True,
         meta_cols: tuple[str, ...] = ("schema_ver",),
         broadcast_max_keys: int = 4_000_000,
+        prepared: PreparedMerge | None = None,
     ) -> MergeStats:
         """MERGE INTO table USING compact(batch) ON key:
 
@@ -328,6 +390,8 @@ class SnapshotTable:
         t0 = time.monotonic()
         m = self.manifest()
         if epoch_id >= 0 and int(m["epochs"].get(query_id, -1)) >= epoch_id:
+            if prepared is not None:
+                prepared.winners.unpersist()
             return MergeStats(epoch_id, 0, 0, 0, 0, True, 0, m["version"])
 
         # CDC meta columns never become table columns
@@ -342,31 +406,22 @@ class SnapshotTable:
 
         # Scan discipline (the 10^10-event design point): the raw batch is
         # scanned exactly TWICE — once column-pruned (keys, order, op) for
-        # the winner/stat aggregation, once full-payload filtered by a
-        # broadcast semi-join on the winning LSNs. Everything after that
-        # is proportional to |keys|, not |events|. All aggregation buffers
+        # the winner/stat aggregation (merge_prepare; overlappable with
+        # the previous epoch's write), once full-payload filtered by a
+        # semi-join on the winning LSNs. Everything after that is
+        # proportional to |keys|, not |events|. All aggregation buffers
         # are fixed-width (long/int), so every agg is a HashAggregate with
         # map-side partial aggregation — an update storm on a hot
         # conversation collapses locally before the shuffle, which is why
         # the default path needs no salting (operators/skew.py remains the
         # explicit tool for payload-carrying skewed aggregations).
-        is_del = (F.col(op_col) == "delete").cast("int")
-        winners = (
-            aligned.groupBy(*key_cols)
-            .agg(
-                F.max(order_col).alias(order_col),
-                F.max_by(is_del, F.col(order_col)).alias("__del"),
-            )
-            .persist()
-        )
+        if prepared is None:
+            prepared = self.merge_prepare(batch, op_col=op_col, order_col=order_col)
+        winners = prepared.winners
+        rows_in, deletes = prepared.rows_in, prepared.deletes
+        affected = prepared.affected
+        t_stats = time.monotonic()
         try:
-            agg = winners.select(
-                F.count("*").alias("n"),
-                F.sum("__del").alias("d"),
-                F.collect_set(self._bucket_expr(m)).alias("bs"),
-            ).collect()[0]
-            rows_in, deletes = int(agg["n"]), int(agg["d"] or 0)
-            affected = sorted(int(b) for b in agg["bs"])
             if rows_in == 0:
                 m["version"] += 1
                 m["parent"] = m["version"] - 1
@@ -443,6 +498,8 @@ class SnapshotTable:
                 False,
                 int((time.monotonic() - t0) * 1000),
                 m["version"],
+                stats_ms=prepared.stats_ms,
+                write_ms=int((time.monotonic() - t_stats) * 1000),
             )
         finally:
             winners.unpersist()

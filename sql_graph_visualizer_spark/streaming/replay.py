@@ -103,30 +103,59 @@ def replay_batch(
     order_col: str = "seq",
     hot_threshold: int | None = None,
     lineage: LineageRecorder | None = None,
+    bounds: tuple[int, int] | None = None,
+    pipeline: bool = True,
 ) -> list[MergeStats]:
     """Bounded batch replay: split the log into ``epochs`` contiguous seq
     ranges and merge them in order — the deterministic, driver-friendly
     twin of ``replay_stream`` (same sink path, same fencing).
-    """
-    bounds = log.selectExpr(f"min({order_col}) lo", f"max({order_col}) hi").collect()[0]
-    if bounds["lo"] is None:
-        return []
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+
+    ``bounds``: pass the known (lo, hi) LSN range (a binlog tail always
+    knows it) to skip a full-log min/max scan.
+
+    ``pipeline``: overlap epoch N+1's winner-aggregation job
+    (``merge_prepare`` — schema-independent, so safe before N commits)
+    with epoch N's merge-write job. The two jobs share the executors, so
+    the win is utilization — the aggregation fills the scheduler gaps,
+    barrier waits and straggler tails of the write stage, which is
+    exactly the time a bigger cluster otherwise wastes. Commit order,
+    fencing and results are unchanged (winners are a pure function of
+    the chunk)."""
+    if bounds is None:
+        row = log.selectExpr(f"min({order_col}) lo", f"max({order_col}) hi").collect()[0]
+        if row["lo"] is None:
+            return []
+        bounds = (int(row["lo"]), int(row["hi"]))
+    lo, hi = bounds
     span = max(1, (hi - lo + 1 + epochs - 1) // epochs)
-    stats: list[MergeStats] = []
-    for e in range(epochs):
-        chunk = log.filter(
+
+    def chunk_of(e: int) -> DataFrame:
+        c = log.filter(
             (log[order_col] >= lo + e * span) & (log[order_col] < lo + (e + 1) * span)
         )
-        prepared = (
-            compact_lww_salted(chunk, hot_threshold=hot_threshold)
-            if hot_threshold is not None
-            else chunk
-        )
-        st = table.merge_upsert(prepared, epoch_id=e, query_id=query_id)
-        stats.append(st)
-        if lineage is not None:
-            lineage.record(st, query_id=query_id)
+        return compact_lww_salted(c, hot_threshold=hot_threshold) if hot_threshold is not None else c
+
+    stats: list[MergeStats] = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = None
+        if pipeline:
+            nxt = pool.submit(table.merge_prepare, chunk_of(0), order_col=order_col)
+        for e in range(epochs):
+            chunk = chunk_of(e)
+            prepared = nxt.result() if nxt is not None else None
+            nxt = (
+                pool.submit(table.merge_prepare, chunk_of(e + 1), order_col=order_col)
+                if pipeline and e + 1 < epochs
+                else None
+            )
+            st = table.merge_upsert(
+                chunk, epoch_id=e, query_id=query_id, prepared=prepared
+            )
+            stats.append(st)
+            if lineage is not None:
+                lineage.record(st, query_id=query_id)
     if lineage is not None:
         lineage.flush()
     return stats
