@@ -9,8 +9,11 @@ above it is backend-agnostic:
 - **Snapshots**: every commit writes an immutable JSON manifest
   ``snapshots/v%08d.json`` listing the table's data files, then flips
   ``version-hint.txt`` (Iceberg HadoopTableOperations does exactly this).
-  Manifest creation uses ``open(..., 'x')`` — optimistic concurrency: a
-  racing writer loses and must retry on the new base snapshot.
+  Manifest creation is create-if-absent — optimistic concurrency: a
+  racing writer loses and must retry on the new base snapshot. All
+  metadata IO goes through a pluggable FileIO (``lake/file_io.py``,
+  Iceberg's FileIO analogue) whose contract maps onto object-store
+  conditional PUTs, so the commit protocol is not POSIX-bound.
 - **Copy-on-write MERGE**: data files are hash-bucketed on the first key
   column (``bucket(N, conv_id)`` in Iceberg partition-spec terms). A merge
   only reads & rewrites the buckets its batch touches — work per epoch is
@@ -42,7 +45,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -52,6 +54,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sql_graph_visualizer_spark.lake.file_io import LocalFileIO
 from sql_graph_visualizer_spark.operators.compaction import compact_lww
 from sql_graph_visualizer_spark.schema_evolution import align_to_schema, evolve_schema
 
@@ -116,9 +119,12 @@ class PreparedMerge:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, io: LocalFileIO | None = None):
         self.spark = spark
         self.path = path
+        # metadata-plane IO (manifests/hints/listings) — pluggable, see
+        # lake/file_io.py for the object-store mapping of each primitive
+        self.io = io or LocalFileIO()
 
     # ------------------------------------------------------------------ DDL
 
@@ -131,10 +137,11 @@ class SnapshotTable:
         key_cols: list[str],
         bucket_col: str | None = None,
         num_buckets: int = 32,
+        io: LocalFileIO | None = None,
     ) -> "SnapshotTable":
-        os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
-        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
-        t = cls(spark, path)
+        t = cls(spark, path, io)
+        t.io.makedirs(os.path.join(path, _SNAP_DIR))
+        t.io.makedirs(os.path.join(path, _DATA_DIR))
         manifest = {
             "version": 1,
             "schema_id": 0,
@@ -151,28 +158,26 @@ class SnapshotTable:
         return t
 
     @classmethod
-    def exists(cls, path: str) -> bool:
-        return os.path.exists(os.path.join(path, _HINT))
+    def exists(cls, path: str, io: LocalFileIO | None = None) -> bool:
+        return (io or LocalFileIO()).exists(os.path.join(path, _HINT))
 
     # ----------------------------------------------------------- manifests
 
     def _current_version(self) -> int:
-        with open(os.path.join(self.path, _HINT)) as f:
-            return int(f.read().strip())
+        return int(self.io.read_text(os.path.join(self.path, _HINT)).strip())
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         """Current manifest, or a historical one for time travel (the
         Iceberg `VERSION AS OF` analogue — any unexpired snapshot is a
         complete, immutable description of the table at that commit)."""
         v = self._current_version() if version is None else int(version)
-        with open(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")))
 
     def versions(self) -> list[int]:
         """All retained snapshot versions (ascending)."""
         snap_dir = os.path.join(self.path, _SNAP_DIR)
         return sorted(
-            int(f[1:9]) for f in os.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
+            int(f[1:9]) for f in self.io.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
         )
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
@@ -180,12 +185,9 @@ class SnapshotTable:
         atomic rename of the version hint."""
         v = manifest["version"]
         mpath = os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")
-        with open(mpath, "x") as f:  # raises FileExistsError on a lost race
-            json.dump(manifest, f)
-        tmp = os.path.join(self.path, f"{_HINT}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.path, _HINT))
+        # raises FileExistsError on a lost commit race (optimistic lock)
+        self.io.create_exclusive(mpath, json.dumps(manifest))
+        self.io.replace_atomic(os.path.join(self.path, _HINT), str(v))
 
     def schema(self) -> T.StructType:
         m = self.manifest()
@@ -280,11 +282,11 @@ class SnapshotTable:
             .parquet(commit_abs)
         )
         out: dict[str, list[dict[str, Any]]] = {}
-        for d in sorted(os.listdir(commit_abs)):
+        for d in self.io.listdir(commit_abs):
             if not d.startswith("__b="):
                 continue
             b = str(int(d.split("=")[1]))
-            for fn in sorted(os.listdir(os.path.join(commit_abs, d))):
+            for fn in self.io.listdir(os.path.join(commit_abs, d)):
                 if fn.endswith(".parquet"):
                     rel = os.path.join(commit_rel, d, fn)
                     out.setdefault(b, []).append(
@@ -294,7 +296,7 @@ class SnapshotTable:
                             # byte size per data file (S8 dataset-size
                             # estimate, mysql/repository.go:492-538 —
                             # information_schema data_length analogue)
-                            "bytes": os.path.getsize(os.path.join(self.path, rel)),
+                            "bytes": self.io.getsize(os.path.join(self.path, rel)),
                         }
                     )
         return out
@@ -547,24 +549,21 @@ class SnapshotTable:
         """Drop old manifests and any commit dirs no kept snapshot
         references (Iceberg expire_snapshots + remove_orphan_files)."""
         snap_dir = os.path.join(self.path, _SNAP_DIR)
-        versions = sorted(
-            int(f[1:9]) for f in os.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
-        )
+        versions = self.versions()
         keep = set(versions[-keep_last:])
         live_commits: set[str] = set()
         for v in keep:
-            with open(os.path.join(snap_dir, f"v{v:08d}.json")) as f:
-                mm = json.load(f)
+            mm = json.loads(self.io.read_text(os.path.join(snap_dir, f"v{v:08d}.json")))
             for fs in mm["files"].values():
                 for e in fs:
                     live_commits.add(e["path"].split(os.sep)[1])
         removed = 0
         for v in versions:
             if v not in keep:
-                os.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
+                self.io.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
                 removed += 1
         data_dir = os.path.join(self.path, _DATA_DIR)
-        for d in os.listdir(data_dir):
+        for d in self.io.listdir(data_dir):
             if d.startswith("commit-") and d not in live_commits:
-                shutil.rmtree(os.path.join(data_dir, d))
+                self.io.rmtree(os.path.join(data_dir, d))
         return removed

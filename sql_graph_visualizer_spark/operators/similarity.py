@@ -20,6 +20,8 @@ generator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,12 +74,64 @@ def cosine_topk(
 
 def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
     """Sign bit of v·h where h components are deterministic pseudo-randoms
-    in [-1,1) derived from xxhash64(plane, dim_index)."""
+    in [-1,1) derived from xxhash64(plane, dim_index).
+
+    This is the *definition* of the hash family as a column expression;
+    the hot path is ``hyperplane_buckets`` below — Spark evaluates
+    higher-order functions interpreted (outside codegen), so folding
+    tables×bits×dim per row this way is ~50× slower than one Arrow-batch
+    matmul against the same (deterministic) plane matrix."""
     comps = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2_000_001)) - 1_000_000) / 1_000_000.0,
     )
     return (F.aggregate(F.zip_with(vec, comps, lambda x, h: x.cast("double") * h), F.lit(0.0), lambda a, v: a + v) > 0).cast("int")
+
+
+def hyperplane_matrix(spark, dim: int, planes: int):
+    """The deterministic hyperplane components as a dim×planes numpy
+    matrix — EXACTLY the values `_hyperplane_bit` derives (same
+    xxhash64(plane:int, i:int) formula, computed by one tiny Spark job),
+    so both paths define the same hash family. ~dim×planes doubles:
+    kilobytes, shipped to executors inside the UDF closure."""
+    rows = (
+        spark.range(planes)
+        .select(
+            F.col("id").cast("int").alias("p"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id").cast("int"), i), F.lit(2_000_001)) - 1_000_000)
+                / 1_000_000.0,
+            ).alias("h"),
+        )
+        .collect()
+    )
+    H = np.array([r["h"] for r in sorted(rows, key=lambda r: r["p"])], dtype=np.float64)
+    return H.T  # dim × planes
+
+
+def hyperplane_buckets(
+    df: DataFrame, vec_col: str, dim: int, bits: int, tables: int, out_col: str = "buckets"
+) -> DataFrame:
+    """All ``tables`` LSH bucket ids per row as one array<long> column,
+    computed by a single Arrow-batched pandas UDF: (batch×dim) @
+    (dim×tables·bits) matmul → sign bits → per-table packing. One numpy
+    GEMM per Arrow batch replaces tables×bits interpreted HOF folds per
+    row — the vectorized-UDF discipline for work built-ins can't
+    express efficiently."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = hyperplane_matrix(df.sparkSession, dim, tables * bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # batch × dim
+        S = (M @ H) > 0  # batch × tables·bits sign bits
+        packed = S.reshape(len(M), tables, bits).astype(np.int64) @ weights  # batch × tables
+        return pd.Series(list(packed))
+
+    return df.withColumn(out_col, buckets(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -105,29 +159,17 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    def sig_cols(df: DataFrame, vcol: str) -> DataFrame:
-        # bit positions are static → fold with literal weights (shiftleft
-        # needs a literal int for numBits, not a Column)
-        for t in range(tables):
-            terms = [
-                _hyperplane_bit(F.col(vcol), t * bits + b, dim).cast("long") * F.lit(1 << b)
-                for b in range(bits)
-            ]
-            bucket = terms[0]
-            for term in terms[1:]:
-                bucket = bucket + term
-            df = df.withColumn(f"bucket_{t}", bucket)
-        return df
-
-    emb = sig_cols(embeddings.select(id_col, vec_col), vec_col)
-    qs = sig_cols(queries.select(query_id_col, query_vec_col), query_vec_col)
+    emb = hyperplane_buckets(
+        embeddings.select(id_col, vec_col), vec_col, dim, bits, tables
+    )
+    qs = hyperplane_buckets(
+        queries.select(query_id_col, query_vec_col), query_vec_col, dim, bits, tables
+    )
     emb_b = emb.select(
         id_col,
         vec_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk")) for t in range(tables)])
-        ).alias("tb"),
-    ).select(id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+        F.posexplode("buckets").alias("t", "bk"),
+    )
     probes: list[int] = [0]
     if probe_hamming >= 1:
         probes += [1 << b for b in range(bits)]
@@ -137,20 +179,14 @@ def lsh_topk(
         qs.select(
             query_id_col,
             query_vec_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            F.col(f"bucket_{t}").bitwiseXOR(F.lit(p)).alias("bk"),
-                        )
-                        for t in range(tables)
-                        for p in probes
-                    ]
-                )
-            ).alias("tb"),
+            F.posexplode("buckets").alias("t", "bk0"),
         )
-        .select(query_id_col, query_vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "t",
+            F.explode(F.array(*[F.col("bk0").bitwiseXOR(F.lit(p)) for p in probes])).alias("bk"),
+        )
         .dropDuplicates([query_id_col, "t", "bk"])
     )
 

@@ -139,6 +139,41 @@ def test_lineage_batched_flush(spark, tmp_path):
     assert rec2.read().count() == 4
 
 
+def test_pipelined_replay_with_mid_log_schema_evolution(spark, tmp_path):
+    """merge_prepare runs for epoch N+1 before epoch N commits (pipelined
+    replay) — schema evolution mid-log must still resolve identically to
+    the sequential path, because prepare touches only key/order/op."""
+    from sql_graph_visualizer_spark.streaming.replay import replay_batch
+
+    log = gen_cdc_log(spark, 1200, num_convs=8, turns_per_conv=6, schema_v2_from=600)
+    piped, seq = _table(spark, tmp_path, "p"), _table(spark, tmp_path, "s")
+    replay_batch(log, piped, epochs=4, bounds=(0, 1199), pipeline=True)
+    replay_batch(log, seq, epochs=4, bounds=(0, 1199), pipeline=False)
+    cols = ["conv_id", "turn_idx", "text", "model"]
+    rows = lambda t: sorted(map(tuple, t.read().select(*cols).collect()))  # noqa: E731
+    assert rows(piped) == rows(seq)
+    assert "model" in [f.name for f in piped.schema().fields]
+
+
+def test_merge_prepared_with_widened_key_type(spark, tmp_path):
+    """A prepared merge must bucket-hash widened batch key columns with
+    the TABLE's type (xxhash64 of int vs long differ) — otherwise rows
+    land in wrong buckets."""
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 300, num_convs=4, turns_per_conv=5)
+    t.merge_upsert(log.filter(F.col("seq") < 150), epoch_id=0, query_id="q")
+    widened = log.filter(F.col("seq") >= 150).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    prep = t.merge_prepare(widened)
+    t.merge_upsert(widened, epoch_id=1, query_id="q", prepared=prep)
+    expected = final_state(log, payload_cols=("text",))
+    got = t.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.withColumn("turn_idx", F.col("turn_idx").cast("long")).collect())
+    )
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     t = _table(spark, tmp_path)
     log = gen_cdc_log(spark, 400, num_convs=5, schema_v2_from=200)
@@ -172,6 +207,34 @@ def test_schema_evolution_widen_int(spark, tmp_path):
     )
     got = t.read().select("conv_id", "turn_idx", "text")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.select("conv_id", "turn_idx", "text").collect()))
+
+
+def test_metadata_io_is_pluggable(spark, tmp_path):
+    """Every metadata operation (manifest create/read, hint flip,
+    listings, size stats) routes through the injected FileIO — the seam
+    where an object-store backend slots in."""
+    from sql_graph_visualizer_spark.lake.file_io import LocalFileIO
+
+    calls: list[str] = []
+
+    class SpyIO(LocalFileIO):
+        def __getattribute__(self, name):
+            if name in (
+                "makedirs", "exists", "read_text", "create_exclusive",
+                "replace_atomic", "listdir", "getsize", "remove", "rmtree",
+            ):
+                calls.append(name)
+            return super().__getattribute__(name)
+
+    io = SpyIO()
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, num_buckets=4, io=io
+    )
+    log = gen_cdc_log(spark, 200, num_convs=3, turns_per_conv=4)
+    t.merge_upsert(log, epoch_id=0, query_id="q")
+    assert t.read().count() > 0
+    assert {"makedirs", "create_exclusive", "replace_atomic", "read_text",
+            "listdir", "getsize"} <= set(calls)
 
 
 def test_expire_snapshots_keeps_current_state(spark, tmp_path):
