@@ -104,6 +104,14 @@ class MergeStats:
         return self.__dict__.copy()
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this one: it rewrote one of the
+    buckets this merge read (its existing-rows snapshot is stale) or
+    evolved the schema underneath it. The caller must re-run the merge
+    on the new base snapshot — Iceberg's validation-failure semantics.
+    Non-overlapping commits never raise: they are rebased and retried."""
+
+
 @dataclass
 class PreparedMerge:
     """Result of the winner-aggregation job (``merge_prepare``) — the
@@ -179,6 +187,36 @@ class SnapshotTable:
         return sorted(
             int(f[1:9]) for f in self.io.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
         )
+
+    def _commit_with_rebase(
+        self,
+        build,
+        epoch_id: int,
+        query_id: str,
+        first: dict[str, Any],
+        validate=None,
+        attempts: int = 5,
+    ) -> dict[str, Any] | None:
+        """Optimistic-concurrency commit loop (Iceberg retry semantics):
+        write the manifest ``build(base)`` produces; on a lost race
+        re-read the new base, re-check the epoch fence (returns None if
+        another writer committed this epoch meanwhile), run ``validate``
+        (raises CommitConflictError when this commit's inputs are stale),
+        then rebase and retry. Commits that touch disjoint buckets
+        therefore interleave without data loss."""
+        cur = first
+        for _ in range(attempts):
+            commit = build(cur)
+            try:
+                self._write_manifest(commit)
+                return commit
+            except FileExistsError:
+                cur = self.manifest()
+                if epoch_id >= 0 and int(cur["epochs"].get(query_id, -1)) >= epoch_id:
+                    return None
+                if validate is not None:
+                    validate(cur)
+        raise CommitConflictError(f"lost {attempts} commit races on {self.path}")
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         """Atomic commit: O_EXCL manifest create (optimistic lock), then
@@ -395,6 +433,9 @@ class SnapshotTable:
             if prepared is not None:
                 prepared.winners.unpersist()
             return MergeStats(epoch_id, 0, 0, 0, 0, True, 0, m["version"])
+        # base snapshot facts for optimistic-concurrency validation
+        base_schema_id = m["schema_id"]
+        base_files = dict(m["files"])
 
         # CDC meta columns never become table columns
         skip = {op_col, order_col, *meta_cols}
@@ -425,13 +466,22 @@ class SnapshotTable:
         t_stats = time.monotonic()
         try:
             if rows_in == 0:
-                m["version"] += 1
-                m["parent"] = m["version"] - 1
-                if epoch_id >= 0:
-                    m["epochs"][query_id] = epoch_id
-                m["summary"] = {"operation": "merge", "epoch": epoch_id, "rows": 0}
-                self._write_manifest(m)
-                return MergeStats(epoch_id, 0, 0, 0, 0, False, int((time.monotonic() - t0) * 1000), m["version"])
+                def build_empty(cur: dict[str, Any]) -> dict[str, Any]:
+                    c = dict(cur)
+                    c["version"] = cur["version"] + 1
+                    c["parent"] = cur["version"]
+                    c["epochs"] = dict(cur["epochs"])
+                    if epoch_id >= 0:
+                        c["epochs"][query_id] = epoch_id
+                    c["summary"] = {"operation": "merge", "epoch": epoch_id, "rows": 0}
+                    return c
+
+                committed = self._commit_with_rebase(build_empty, epoch_id, query_id, m)
+                v = (committed or self.manifest())["version"]
+                return MergeStats(
+                    epoch_id, 0, 0, 0, 0, committed is None,
+                    int((time.monotonic() - t0) * 1000), v,
+                )
 
             # Versioned MERGE: re-express current rows (incl. persisted
             # tombstones) as change events carrying their committed _seq,
@@ -474,23 +524,53 @@ class SnapshotTable:
             )
 
             new_files = self._write_data(result, m)
-            files = {b: fs for b, fs in m["files"].items() if int(b) not in set(affected)}
-            for b, fs in new_files.items():
-                files[b] = fs
-            m["files"] = files
-            m["version"] += 1
-            m["parent"] = m["version"] - 1
-            if epoch_id >= 0:
-                m["epochs"][query_id] = epoch_id
-            m["summary"] = {
-                "operation": "merge",
-                "epoch": epoch_id,
-                "rows": rows_in,
-                "deletes": deletes,
-                "buckets": len(affected),
-                "total_files_bytes": _total_bytes(files),
-            }
-            self._write_manifest(m)
+            affected_set = set(affected)
+
+            def build(cur: dict[str, Any]) -> dict[str, Any]:
+                files = {b: fs for b, fs in cur["files"].items() if int(b) not in affected_set}
+                files.update(new_files)
+                c = dict(cur)
+                # carry our (possibly evolved) schema history; validate()
+                # guarantees no concurrent evolution raced us
+                c["schemas"] = m["schemas"]
+                c["schema_id"] = m["schema_id"]
+                c["files"] = files
+                c["version"] = cur["version"] + 1
+                c["parent"] = cur["version"]
+                c["epochs"] = dict(cur["epochs"])
+                if epoch_id >= 0:
+                    c["epochs"][query_id] = epoch_id
+                c["summary"] = {
+                    "operation": "merge",
+                    "epoch": epoch_id,
+                    "rows": rows_in,
+                    "deletes": deletes,
+                    "buckets": len(affected),
+                    "total_files_bytes": _total_bytes(files),
+                }
+                return c
+
+            def validate(cur: dict[str, Any]) -> None:
+                # copy-on-write staleness check: our `existing` read and
+                # schema resolution used the base snapshot — a concurrent
+                # commit to the same buckets (or a schema change) means
+                # this merge must be recomputed, not rebased
+                if cur["schema_id"] != base_schema_id:
+                    raise CommitConflictError(
+                        f"concurrent schema evolution on {self.path}"
+                    )
+                for b in affected:
+                    if cur["files"].get(str(b)) != base_files.get(str(b)):
+                        raise CommitConflictError(
+                            f"bucket {b} rewritten concurrently on {self.path}"
+                        )
+
+            committed = self._commit_with_rebase(build, epoch_id, query_id, m, validate)
+            if committed is None:  # another writer committed this epoch mid-race
+                return MergeStats(
+                    epoch_id, 0, 0, 0, 0, True,
+                    int((time.monotonic() - t0) * 1000), self.manifest()["version"],
+                )
             return MergeStats(
                 epoch_id,
                 rows_in,
@@ -499,7 +579,7 @@ class SnapshotTable:
                 len(affected),
                 False,
                 int((time.monotonic() - t0) * 1000),
-                m["version"],
+                committed["version"],
                 stats_ms=prepared.stats_ms,
                 write_ms=int((time.monotonic() - t_stats) * 1000),
             )
@@ -516,15 +596,24 @@ class SnapshotTable:
             {_SEQ: F.lit(max(epoch_id, 0)).cast("long"), _DELETED: F.lit(False)}
         )
         new_files = self._write_data(rows, m)
-        for b, fs in new_files.items():
-            m["files"].setdefault(b, []).extend(fs)
-        m["version"] += 1
-        m["parent"] = m["version"] - 1
-        if epoch_id >= 0:
-            m["epochs"][query_id] = epoch_id
-        m["summary"] = {"operation": "append", "total_files_bytes": _total_bytes(m["files"])}
-        self._write_manifest(m)
-        return m["version"]
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            c["files"] = {b: list(fs) for b, fs in cur["files"].items()}
+            for b, fs in new_files.items():
+                c["files"].setdefault(b, []).extend(fs)
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["epochs"] = dict(cur["epochs"])
+            if epoch_id >= 0:
+                c["epochs"][query_id] = epoch_id
+            c["summary"] = {"operation": "append", "total_files_bytes": _total_bytes(c["files"])}
+            return c
+
+        # appends commute (no bucket is rewritten) → rebase-and-retry
+        # needs no validation; a raced same-epoch append is fenced
+        committed = self._commit_with_rebase(build, epoch_id, query_id, m)
+        return (committed or self.manifest())["version"]
 
     def expire_tombstones(self, older_than_seq: int) -> int:
         """Physically drop tombstones whose ``_seq`` is below a replay

@@ -248,6 +248,78 @@ def test_expire_snapshots_keeps_current_state(spark, tmp_path):
     assert _sorted_state(t) == before
 
 
+def _inject_competing_commit(t, touch_bucket=None):
+    """Simulate another writer winning the manifest race exactly once:
+    before this table's next manifest write, commit a competing snapshot
+    (optionally rewriting one bucket's file list)."""
+    orig = t._write_manifest
+    fired = {"done": False}
+
+    def racy(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            cur = t.manifest()
+            competitor = dict(cur)
+            competitor["files"] = {b: list(fs) for b, fs in cur["files"].items()}
+            if touch_bucket is not None:
+                competitor["files"][str(touch_bucket)] = [
+                    {"path": "data/commit-competitor/x.parquet", "schema_id": 0, "bytes": 1}
+                ]
+            competitor["version"] = cur["version"] + 1
+            competitor["parent"] = cur["version"]
+            competitor["epochs"] = dict(cur["epochs"])
+            competitor["summary"] = {"operation": "competitor"}
+            orig(competitor)
+        return orig(manifest)
+
+    t._write_manifest = racy
+    return fired
+
+
+def test_commit_race_rebase_retry(spark, tmp_path):
+    """A lost manifest race against a NON-overlapping commit rebases and
+    retries: both commits survive, data is correct (Iceberg optimistic
+    concurrency)."""
+    t = _table(spark, tmp_path)
+    log = gen_cdc_log(spark, 400, num_convs=5, turns_per_conv=6)
+    _inject_competing_commit(t)  # competitor touches no buckets
+    st = t.merge_upsert(log, epoch_id=0, query_id="q")
+    assert not st.skipped
+    m = t.manifest()
+    assert m["version"] == st.snapshot_version
+    assert t.manifest(m["parent"])["summary"]["operation"] == "competitor"
+    expected = final_state(log, payload_cols=("text",))
+    got = t.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_commit_race_conflicting_bucket_raises(spark, tmp_path):
+    """A concurrent commit that rewrote one of the merge's buckets makes
+    its existing-rows read stale → CommitConflictError, never silent
+    data loss."""
+    import pytest
+    from sql_graph_visualizer_spark.lake.snapshot_table import CommitConflictError
+
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 400, num_convs=5, turns_per_conv=6)
+    t.merge_upsert(log.filter(F.col("seq") < 200), epoch_id=0, query_id="q")
+    touched = sorted(int(b) for b in t.manifest()["files"])[0]
+    _inject_competing_commit(t, touch_bucket=touched)
+    with pytest.raises(CommitConflictError):
+        t.merge_upsert(log.filter(F.col("seq") >= 200), epoch_id=1, query_id="q")
+
+
+def test_append_race_keeps_both_commits(spark, tmp_path):
+    from sql_graph_visualizer_spark.streaming.metrics import LINEAGE_SCHEMA, LineageRecorder
+
+    rec = LineageRecorder(spark, os.path.join(str(tmp_path), "lin"))
+    row = lambda e: [("q", e, 1, 1, 0, 1, False, 1, 1.0, 1, 0)]  # noqa: E731
+    rec.table.append(spark.createDataFrame(row(0), LINEAGE_SCHEMA), epoch_id=0, query_id="a")
+    _inject_competing_commit(rec.table)
+    rec.table.append(spark.createDataFrame(row(1), LINEAGE_SCHEMA), epoch_id=1, query_id="a")
+    assert sorted(int(r.epoch_id) for r in rec.read().collect()) == [0, 1]
+
+
 def test_time_travel_reads_past_snapshots(spark, tmp_path):
     """Iceberg `VERSION AS OF` analogue: every retained snapshot is a
     complete immutable view; reading an old version reproduces the table
