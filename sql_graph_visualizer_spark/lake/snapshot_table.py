@@ -625,12 +625,25 @@ class SnapshotTable:
             ~(F.coalesce(F.col(_DELETED), F.lit(False)) & (F.col(_SEQ) < older_than_seq))
         )
         new_files = self._write_data(df, m)
-        m["files"] = new_files
-        m["version"] += 1
-        m["parent"] = m["version"] - 1
-        m["summary"] = {"operation": "expire-tombstones", "horizon": older_than_seq}
-        self._write_manifest(m)
-        return m["version"]
+        base_files = dict(m["files"])
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            c["files"] = new_files
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {"operation": "expire-tombstones", "horizon": older_than_seq}
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            # full-table rewrite: ANY concurrent data commit makes it stale
+            if cur["files"] != base_files:
+                raise CommitConflictError(
+                    f"table changed under expire_tombstones on {self.path}"
+                )
+
+        committed = self._commit_with_rebase(build, -1, "expire", m, validate)
+        return committed["version"]
 
     # -------------------------------------------------------- maintenance
 

@@ -101,8 +101,15 @@ def build_edges(
 ) -> DataFrame:
     """PASS 2: endpoint resolution as two inner joins per rule against the
     nodes table (left_semi semantics folded into inner joins) — replaces
-    the reference's O(N·M) nested loop (transform_service.go:361-444)."""
-    node_ids = nodes.select("node_id").distinct()
+    the reference's O(N·M) nested loop (transform_service.go:361-444).
+
+    The node-id set feeds 2 joins per relationship rule; without
+    materialization Catalyst would re-derive the whole nodes pipeline
+    (every node rule's scan + union + LWW dedup) once per endpoint —
+    O(rules²) recompute. It is persisted here and computed once; blocks
+    live until session eviction (LRU) — long-lived sessions building
+    many graphs should materialize nodes to a table instead."""
+    node_ids = nodes.select("node_id").distinct().persist()
     parts = []
     for rule in sorted(rules, key=lambda r: r.priority):
         df = sources[rule.source]
