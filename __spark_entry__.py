@@ -99,10 +99,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dsum(col: str | F.Column) -> F.Column:
-    """Deterministic float aggregate: exact decimal sum, cast to double —
-    immune to summation-order differences between Spark and DuckDB."""
+    """Deterministic float aggregate: exact decimal sum, cast to double,
+    rounded to 4 decimals — the decimal sum is immune to summation-order
+    differences, and the final round absorbs the engines' per-row
+    double→decimal cast tie-breaking (sub-ulp divergence that surfaces
+    only when millions of rows accumulate, e.g. lineitem at sf≥0.1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,8)")).cast("double")
+    return F.round(F.sum(c.cast("decimal(18,8)")).cast("double"), 4)
 
 
 def _replayed(spark: SparkSession, sf_dir: str, variant: str = "batch") -> SnapshotTable:
@@ -1039,7 +1042,7 @@ FROM events GROUP BY 1
 WITH per_user AS (
   SELECT user_id, count(*) AS n,
     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
-    CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS total_value
+    round(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE), 4) AS total_value
   FROM events GROUP BY user_id
 )
 SELECT user_id, n, n_err,
@@ -1104,18 +1107,18 @@ JOIN supplier ON l_suppkey = s_suppkey
 """,
         "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE), 4) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE), 4) AS sum_base_price,
+  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE), 4) AS sum_charge,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE), 4) / COUNT(*) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
         "tpch_q3_top10": """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE), 4) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
@@ -1140,7 +1143,7 @@ SELECT count(*) AS n_rows,
   count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_combos,
   CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) / count(l_quantity) AS avg_qty
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE), 4) / count(l_quantity) AS avg_qty
 FROM lineitem
 """,
         "agg_column_histogram": """
@@ -1165,7 +1168,7 @@ WHERE ((event_id * 48271 + 11) % 100003) % 100 <
 """,
         "agg_orders_having": """
 SELECT o_custkey, count(*) AS order_count,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS total_spend
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE), 4) AS total_spend
 FROM orders GROUP BY o_custkey HAVING count(*) >= 14
 """,
         "window_top3_orders": """
