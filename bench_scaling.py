@@ -195,12 +195,48 @@ def run(code: str) -> str:
     return lines[-1] if lines else ""
 
 
+def weak_scaling(events: int, legs: tuple[int, int]) -> None:
+    """Weak-scaling evidence: N executors on events/4 vs 4N executors on
+    the full log — the 10^10-event question is exactly this shape (grow
+    the cluster with the data). Ideal efficiency = equal wall time."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    scratch = tempfile.mkdtemp(prefix="bench_weak_", dir=scratch_root)
+    factor = legs[1] // legs[0]
+    common = dict(repo=repo, scratch=scratch, buckets=NUM_BUCKETS, epochs=EPOCHS,
+                  exec_cores=EXEC_CORES, exec_mem=EXEC_MEM_MB,
+                  shuffle_partitions=SHUFFLE_PARTITIONS)
+    try:
+        small_dir = os.path.join(scratch, "log_small")
+        big_dir = os.path.join(scratch, "log_big")
+        run(GEN.format(repo=repo, events=events // factor, num_convs=NUM_CONVS,
+                       log_dir=small_dir, scratch=scratch))
+        run(GEN.format(repo=repo, events=events, num_convs=NUM_CONVS,
+                       log_dir=big_dir, scratch=scratch))
+        n = json.loads(run(CHILD.format(execs=legs[0], events=events // factor,
+                                        log_dir=small_dir, **common)))
+        n4 = json.loads(run(CHILD.format(execs=legs[1], events=events,
+                                         log_dir=big_dir, **common)))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    eff = n["sec"] / n4["sec"]  # ideal 1.0: 4x work on 4x executors, same wall
+    print(json.dumps({
+        "metric": f"weak scaling ({legs[0]} exec on {events // factor:,} events vs "
+                  f"{legs[1]} exec on {events:,})",
+        "n": n, "n4": n4,
+        "weak_scaling_efficiency": round(eff, 3),
+    }))
+
+
 def main() -> None:
     events = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 64_000_000
     legs = LEGS
     if "--legs" in sys.argv:
         a, b = sys.argv[sys.argv.index("--legs") + 1].split(",")
         legs = (int(a), int(b))
+    if "--weak" in sys.argv:
+        weak_scaling(events, legs)
+        return
     repo = os.path.dirname(os.path.abspath(__file__))
     scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     scratch = tempfile.mkdtemp(prefix="bench_scale_", dir=scratch_root)
