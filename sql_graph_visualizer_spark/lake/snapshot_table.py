@@ -172,7 +172,20 @@ class SnapshotTable:
     # ----------------------------------------------------------- manifests
 
     def _current_version(self) -> int:
-        return int(self.io.read_text(os.path.join(self.path, _HINT)).strip())
+        """Manifest-file creation is the commit point; the version hint
+        is a cache (Iceberg Hadoop-table semantics). A crash between the
+        two leaves the hint stale, so walk forward from the hinted
+        version to the newest existing manifest — one extra exists()
+        probe in the common case — and repair the hint best-effort.
+        Without this, every later commit would rebuild the same version,
+        collide with the orphan manifest forever, and brick the table."""
+        v = int(self.io.read_text(os.path.join(self.path, _HINT)).strip())
+        ahead = v
+        while self.io.exists(os.path.join(self.path, _SNAP_DIR, f"v{ahead + 1:08d}.json")):
+            ahead += 1
+        if ahead != v:
+            self.io.replace_atomic(os.path.join(self.path, _HINT), str(ahead))
+        return ahead
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         """Current manifest, or a historical one for time travel (the

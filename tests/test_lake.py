@@ -320,6 +320,68 @@ def test_append_race_keeps_both_commits(spark, tmp_path):
     assert sorted(int(r.epoch_id) for r in rec.read().collect()) == [0, 1]
 
 
+def test_crash_between_manifest_and_hint_recovers(spark, tmp_path):
+    """Manifest creation is the commit point; the version hint is a
+    cache. A crash after writing the manifest but before flipping the
+    hint must neither lose that commit nor brick later ones."""
+    from sql_graph_visualizer_spark.lake.file_io import LocalFileIO
+
+    class CrashyIO(LocalFileIO):
+        crash_next_hint = False
+
+        def replace_atomic(self, path, data):
+            if self.crash_next_hint and path.endswith("version-hint.txt"):
+                self.crash_next_hint = False
+                return  # simulated crash: manifest exists, hint never flips
+            super().replace_atomic(path, data)
+
+    io = CrashyIO()
+    t = SnapshotTable.create(spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS,
+                             num_buckets=4, io=io)
+    log = gen_cdc_log(spark, 400, num_convs=5, turns_per_conv=6)
+    io.crash_next_hint = True
+    t.merge_upsert(log.filter(F.col("seq") < 200), epoch_id=0, query_id="q")
+    # the orphaned commit is visible (walk-forward) and fenced
+    assert t.read().count() > 0
+    assert t.last_committed_epoch("q") == 0
+    # and later commits rebase onto it instead of colliding forever
+    st = t.merge_upsert(log.filter(F.col("seq") >= 200), epoch_id=1, query_id="q")
+    assert not st.skipped
+    expected = final_state(log, payload_cols=("text",))
+    got = t.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
+    """Two writers merging different conversations (disjoint buckets)
+    from separate threads: optimistic retry lands both, no data lost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _table(spark, tmp_path, buckets=8)
+    log = gen_cdc_log(spark, 1200, num_convs=12, turns_per_conv=6)
+    # pick two conv groups that hash to disjoint bucket sets
+    convs = [r.conv_id for r in log.select("conv_id").distinct().collect()]
+    bucket = {
+        r.conv_id: int(r.b)
+        for r in log.select("conv_id").distinct()
+        .withColumn("b", F.pmod(F.xxhash64("conv_id"), F.lit(8))).collect()
+    }
+    g1 = [c for c in convs if bucket[c] == bucket[convs[0]]]
+    g2 = [c for c in convs if bucket[c] != bucket[convs[0]]]
+    assert g1 and g2
+    b1 = log.filter(F.col("conv_id").isin(g1))
+    b2 = log.filter(F.col("conv_id").isin(g2))
+
+    with ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(t.merge_upsert, b1, 0, "writer-1")
+        f2 = pool.submit(t.merge_upsert, b2, 0, "writer-2")
+        s1, s2 = f1.result(), f2.result()
+    assert not s1.skipped and not s2.skipped
+    expected = final_state(log, payload_cols=("text",))
+    got = t.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
 def test_time_travel_reads_past_snapshots(spark, tmp_path):
     """Iceberg `VERSION AS OF` analogue: every retained snapshot is a
     complete immutable view; reading an old version reproduces the table
