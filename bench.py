@@ -70,7 +70,10 @@ def main() -> None:
             spark, os.path.join(base, "w"), TRANSCRIPT_SCHEMA,
             key_cols=["conv_id", "turn_idx"], num_buckets=CPUS,
         )
-        replay_batch(log.filter(f"seq < {GEN_EVENTS // 8}"), warm, epochs=2)
+        replay_batch(
+            log.filter(f"seq < {GEN_EVENTS // 8}"), warm, epochs=2,
+            bounds=(0, GEN_EVENTS // 8 - 1),
+        )
         table = SnapshotTable.create(
             spark,
             os.path.join(base, "t"),
@@ -79,7 +82,8 @@ def main() -> None:
             num_buckets=CPUS,
         )
         t0 = time.perf_counter()
-        replay_batch(log, table, epochs=4)
+        # the generator's LSN range is known — same as a binlog tail
+        replay_batch(log, table, epochs=4, bounds=(0, GEN_EVENTS - 1))
         dt = time.perf_counter() - t0
         extra["cdc_events_per_sec"] = round(GEN_EVENTS / dt, 1)
 
