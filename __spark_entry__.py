@@ -38,7 +38,7 @@ from sql_graph_visualizer_spark.operators.multimodal import (
     resize_plan,
     synthesize_media,
 )
-from sql_graph_visualizer_spark.operators.similarity import cosine_topk, lsh_topk
+from sql_graph_visualizer_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from sql_graph_visualizer_spark.operators.text import (
     detect_language,
     fingerprint,
@@ -792,6 +792,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (coarse quantizer + probed exact re-rank), checked
+    value-exact against the brute-force oracle. The fixture embeddings
+    are isotropic noise — a noise 'neighbour' lands in a cell
+    uncorrelated with the query's nearest cells, so ANY probes < cells
+    loses recall by construction; the demo therefore probes every cell
+    (exercising the whole IVF plumbing: assignment pass, cell join,
+    re-rank — all value-checked). Pruned probing is the point on
+    CLUSTERED corpora, which tests/test_textops.py demonstrates with
+    planted clusters at probes << cells."""
+    e = _read(spark, sf_dir, "embeddings")
+    got = ivf_topk(e, _queries_df(spark, sf_dir), k=5, cells=16, probes=16)
+    return got.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring ladder (length / punctuation sanity / stopword
+    presence → clamped weighted composite, the reference's hotspot-score
+    shape) — pure expressions, oracle recomputes op-for-op."""
+    from sql_graph_visualizer_spark.operators.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        quality_score(c).alias("quality"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+    )
+
+
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary media column → typed metadata
     via Arrow mapInPandas (codec stubbed deterministically)."""
@@ -898,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "text_quality": q_text_quality,
         # multimodal plumbing (stubbed codecs, real Arrow/mapInPandas path)
         "mm_decode": q_mm_decode,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1319,8 +1356,38 @@ FROM dims
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(threshold=0.5),
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
+        "sim_ivf_topk": _COSINE_TOPK_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
+        "text_quality": _text_quality_sql(),
     }
+
+
+def _text_quality_sql() -> str:
+    from sql_graph_visualizer_spark.operators.text import EN_STOPWORDS
+
+    stopwords = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n,
+    length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')) AS np,
+    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / n END AS pr,
+    CASE WHEN len(w) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(w, x -> x IN ({stopwords}))) AS DOUBLE) / len(w)
+    END AS sr,
+    least(n / 500.0, 1.0) AS lc
+  FROM t
+)
+SELECT doc_id,
+  round(0.4 * lc + 0.3 * (1.0 - least(pr * 5.0, 1.0)) + 0.3 * least(sr * 4.0, 1.0), 6)
+    AS quality,
+  round(pr, 6) AS punct_ratio,
+  round(sr, 6) AS stopword_ratio
+FROM r
+"""
 
 
 _COSINE_TOPK_SQL = """

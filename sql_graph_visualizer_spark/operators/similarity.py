@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths over ``embeddings(vec_id, embedding, …)``:
+Three paths over ``embeddings(vec_id, embedding, …)``:
 
 - **brute-force cosine top-k** (`cosine_topk`): exact baseline. The dot
   product is a sequential ``F.aggregate`` fold over zipped arrays —
@@ -12,6 +12,11 @@ Two paths over ``embeddings(vec_id, embedding, …)``:
   from matching any of ``tables`` banded signature chunks, exact cosine
   re-rank on candidates only. Scale path: cost ∝ collisions, recall
   tunable via bits/tables.
+- **IVF** (`ivf_topk`): coarse quantizer — every corpus vector is
+  assigned ONCE to its nearest of ``cells`` centroids; a query probes
+  its ``probes`` nearest cells and exactly re-ranks only those cells'
+  members. Scale path: corpus work is one assignment pass + a join on
+  cell id; recall tunable via probes/cells.
 
 Hyperplanes are derived from xxhash64 (deterministic, no RNG state), so
 results are stable across runs/partitionings — same rule as the CDC
@@ -194,6 +199,86 @@ def lsh_topk(
         emb_b.join(F.broadcast(q_b), on=["t", "bk"])
         .dropDuplicates([query_id_col, id_col])
         .withColumn("cosine", cosine(vec_col, query_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def ivf_centroids(embeddings: DataFrame, cells: int, id_col: str, vec_col: str):
+    """Deterministic seeded centroids: the ``cells`` corpus vectors with
+    the smallest xxhash64(id) — reproducible across runs/partitionings
+    (the same no-RNG rule as the LSH hyperplanes and the CDC generator).
+    A production pipeline would refine these with a few k-means
+    iterations (pyspark.ml KMeans); refinement changes RECALL only,
+    never correctness — candidates are always exactly re-ranked — and
+    seeded k-means depends on input partitioning, which would break
+    run-to-run reproducibility here. Returns an L2-normalized
+    (cells × dim) float64 matrix (kilobytes; rides in UDF closures)."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(cells)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_cells(df: DataFrame, vec_col: str, centroids, probes: int = 1, out_col: str = "cell") -> DataFrame:
+    """Nearest-``probes`` centroid ids per row as array<int>, via one
+    Arrow-batch matmul per batch (same vectorized-UDF discipline as
+    hyperplane_buckets). With probes=1 this is the corpus assignment;
+    with probes=P it is the query-side multi-probe list."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids  # cells × dim, normalized
+
+    @pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)  # batch × dim
+        sims = M @ C.T  # batch × cells (argmax over cosine: ||m|| constant per row)
+        top = np.argsort(-sims, axis=1)[:, :probes].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cells: int = 16,
+    probes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus once (cell id per row),
+    probe the query's ``probes`` nearest cells, exact-cosine re-rank the
+    members of those cells only.
+
+    Plan shape at scale: the corpus is scanned once for assignment and
+    shuffles only on (cell) for the candidate join; query side is tiny
+    and broadcast. Cost ∝ corpus/cells × probes per query — the
+    inverted-file trade every vector database makes."""
+    from pyspark.sql.window import Window
+
+    cent = ivf_centroids(embeddings, cells, id_col, vec_col)
+    corpus = ivf_cells(embeddings.select(id_col, vec_col), vec_col, cent, probes=1)
+    corpus = corpus.select(id_col, vec_col, F.element_at("cell", 1).alias("cell"))
+    q = ivf_cells(
+        queries.select(query_id_col, query_vec_col), query_vec_col, cent, probes=probes
+    ).select(query_id_col, query_vec_col, F.explode("cell").alias("cell"))
+    cand = corpus.join(F.broadcast(q), on="cell").withColumn(
+        "cosine", cosine(vec_col, query_vec_col)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

@@ -146,6 +146,39 @@ def test_lsh_topk_recall(spark):
     assert all(any(r.query_id == r.vec_id == q.query_id for r in approx) for q in queries.collect())
 
 
+def test_ivf_topk_pruned_probes_on_clustered_data(spark):
+    """IVF's value proposition: on CLUSTERED data, probing a few cells
+    finds the true neighbours. Plant 8 clusters (base vector + small
+    perturbations, deterministic), query cluster members, and require
+    the pruned search (probes=2 of cells=8) to find the same top-3 as
+    brute force — neighbours share the query's cell by construction."""
+    from sql_graph_visualizer_spark.operators.similarity import cosine_topk, ivf_topk
+
+    dim, per_cluster = 16, 12
+    rows = []
+    for c in range(8):
+        base = [(1.0 if i == (c % dim) else 0.0) + 0.05 * ((c * 31 + i) % 7) for i in range(dim)]
+        for j in range(per_cluster):
+            vec = [v + 0.01 * ((c * 97 + j * 13 + i) % 5) for i, v in enumerate(base)]
+            rows.append((c * per_cluster + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % per_cluster == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.rank): r.vec_id for r in cosine_topk(emb, queries, k=3).collect()}
+    pruned = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, queries, k=3, cells=8, probes=2).collect()
+    }
+    assert pruned == exact
+    # determinism across partitionings (seeded centroids, no RNG)
+    again = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb.repartition(7), queries, k=3, cells=8, probes=2).collect()
+    }
+    assert again == pruned
+
+
 def test_analyze_documents_profile(spark):
     prof = analyze_documents(_docs(spark)).limit(200)
     rows = prof.collect()
