@@ -184,7 +184,13 @@ class SnapshotTable:
         while self.io.exists(os.path.join(self.path, _SNAP_DIR, f"v{ahead + 1:08d}.json")):
             ahead += 1
         if ahead != v:
-            self.io.replace_atomic(os.path.join(self.path, _HINT), str(ahead))
+            # best-effort: a read-only FileIO (or a store that denies the
+            # writer) must not turn a pure read into a failure — the next
+            # writer will repair the hint
+            try:
+                self.io.replace_atomic(os.path.join(self.path, _HINT), str(ahead))
+            except OSError:
+                pass
         return ahead
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
@@ -512,12 +518,17 @@ class SnapshotTable:
             else:
                 # size-guarded fallback: winner set too large to broadcast —
                 # keyed shuffle semi-join on (key, order) instead (needs no
-                # LSN-uniqueness assumption either)
-                survivors = aligned.join(
-                    winners.select(*key_cols, order_col),
-                    on=[*key_cols, order_col],
-                    how="left_semi",
-                )
+                # LSN-uniqueness assumption either). Key equality must be
+                # null-safe: a winner row with a NULL key column would
+                # otherwise be dropped here while the broadcast path (which
+                # joins on order_col alone) keeps it — same batch, different
+                # merged state depending on batch size.
+                w = winners.select(*key_cols, order_col).alias("w")
+                a = aligned.alias("a")
+                cond = F.col(f"a.{order_col}") == F.col(f"w.{order_col}")
+                for k in key_cols:
+                    cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"w.{k}"))
+                survivors = a.join(w, on=cond, how="left_semi")
             existing = self.read(buckets=affected, manifest=m, system=True)
             existing_events = existing.select(
                 *payload,

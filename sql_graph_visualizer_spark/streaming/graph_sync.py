@@ -74,11 +74,30 @@ class GraphSync:
     table's fence; stale epochs lose LWW on the synthetic seq).
     """
 
-    def __init__(self, spark: SparkSession, path: str, transcripts: SnapshotTable):
+    EDGE_KEY_COLS = ["conv_id", "src", "dst", "rel_type"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        transcripts: SnapshotTable,
+        num_buckets: int = 32,
+    ):
         self.spark = spark
         self.transcripts = transcripts
         if SnapshotTable.exists(path):
             self.edges = SnapshotTable(spark, path)
+            # Bucket pruning is only sound if the files on disk are
+            # physically bucketed the way we are about to prune them. A
+            # table created by an older layout (e.g. bucket_col=src) would
+            # silently miss existing edges for touched conversations if we
+            # pruned its scan with bucket_id('conv_id') — so verify the
+            # manifest's spec and fall back to an unpruned current-edges
+            # read when it does not match.
+            m = self.edges.manifest()
+            self._prune_edges = (
+                m["bucket_col"] == "conv_id" and list(m["key_cols"]) == self.EDGE_KEY_COLS
+            )
         else:
             # conv_id leads the key (it is functionally determined by src,
             # so edge identity is unchanged) and is the bucket column:
@@ -88,10 +107,11 @@ class GraphSync:
                 spark,
                 path,
                 EDGE_TABLE_SCHEMA,
-                key_cols=["conv_id", "src", "dst", "rel_type"],
+                key_cols=list(self.EDGE_KEY_COLS),
                 bucket_col="conv_id",
-                num_buckets=8,
+                num_buckets=num_buckets,
             )
+            self._prune_edges = True
 
     def sync(self, batch: DataFrame, epoch_id: int, st: MergeStats | None = None) -> MergeStats:
         """Diff-and-merge the edges of the conversations ``batch`` touched.
@@ -116,7 +136,7 @@ class GraphSync:
             F.collect_set(self.edges.bucket_id("conv_id")).alias("eb"),
         ).collect()[0]
         t_buckets = sorted(int(x) for x in b["tb"])
-        e_buckets = sorted(int(x) for x in b["eb"])
+        e_buckets = sorted(int(x) for x in b["eb"]) if self._prune_edges else None
         state = self.transcripts.read(buckets=t_buckets).join(
             F.broadcast(touched), on="conv_id", how="left_semi"
         )

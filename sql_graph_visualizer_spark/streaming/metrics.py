@@ -80,16 +80,22 @@ class LineageRecorder:
             self.flush()
 
     def flush(self) -> None:
-        """Commit buffered rows in one append, fenced on the max buffered
-        (query, epoch) so crash-replay of the same epochs can't
-        double-count."""
+        """Commit buffered rows, fenced per query_id on that query's max
+        buffered epoch so crash-replay of the same epochs can't
+        double-count. One recorder may be shared across query_ids
+        (e.g. data replay + graph-sync): each query's rows get their own
+        fenced append — fencing a query's rows under another query's key
+        would leave its fence behind and let replays double-record."""
         if not self._buffer:
             return
         rows, self._buffer = self._buffer, []
-        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-        query_id = rows[0][0]
-        max_epoch = max(r[1] for r in rows)
-        self.table.append(df, epoch_id=max_epoch, query_id=f"lineage:{query_id}")
+        by_query: dict[str, list[tuple]] = {}
+        for r in rows:
+            by_query.setdefault(r[0], []).append(r)
+        for query_id, qrows in by_query.items():
+            df = self.spark.createDataFrame(qrows, LINEAGE_SCHEMA)
+            max_epoch = max(r[1] for r in qrows)
+            self.table.append(df, epoch_id=max_epoch, query_id=f"lineage:{query_id}")
 
     def read(self):
         self.flush()

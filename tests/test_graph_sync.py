@@ -126,3 +126,53 @@ def test_sync_removes_edges_of_deleted_turns(spark, tmp_path):
     gs.sync(b1, 1, st1)
     edges = {(r.src, r.dst, r.rel_type) for r in gs.read().collect()}
     assert edges == {("Conversation:c", "Turn:c:0", "HAS_TURN")}
+
+
+def test_open_legacy_bucket_layout_falls_back_to_unpruned(spark, tmp_path, monkeypatch):
+    """An existing edge table created with an older physical layout
+    (bucket_col=src) must not be bucket-pruned by conv_id: the manifest
+    spec is verified on open and sync() falls back to an unpruned
+    current-edges read, so stale edges of touched conversations are still
+    diffed and deleted (ADVICE r2)."""
+    from sql_graph_visualizer_spark.streaming.graph_sync import EDGE_TABLE_SCHEMA
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    # legacy-layout edge table: bucketed (physically!) on src, keyed without conv_id
+    legacy = SnapshotTable.create(
+        spark,
+        str(tmp_path / "edges"),
+        EDGE_TABLE_SCHEMA,
+        key_cols=["src", "dst", "rel_type"],
+        bucket_col="src",
+        num_buckets=8,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    b0 = mk(
+        [
+            (1, "insert", "c", 0, "user", "hi", None, None),
+            (2, "insert", "c", 1, "tool", "out", "search", None),
+        ]
+    )
+    st0 = t.merge_upsert(b0, epoch_id=0, query_id="q")
+    legacy.merge_upsert(
+        derive_conv_edges(t.read())
+        .withColumn("op", F.lit("update"))
+        .withColumn("seq", F.lit(int(st0.snapshot_version)).cast("long")),
+        epoch_id=0,
+        query_id="graph-sync",
+    )
+    # reopen through GraphSync: must detect the legacy spec
+    gs = GraphSync(spark, str(tmp_path / "edges"), t)
+    assert gs._prune_edges is False
+    # update turn 1 to drop its tool -> the old USES_TOOL edge must be
+    # found (despite the foreign bucketing) and deleted
+    b1 = mk([(3, "update", "c", 1, "tool", "out2", None, None)])
+    st1 = t.merge_upsert(b1, epoch_id=1, query_id="q")
+    gs.sync(b1, 1, st1)
+    edges = _edge_set(gs.read())
+    assert ("Turn:c:1", "Tool:search", "USES_TOOL") not in edges
+    assert edges == _edge_set(derive_conv_edges(t.read()))

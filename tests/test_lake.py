@@ -402,3 +402,58 @@ def test_time_travel_reads_past_snapshots(spark, tmp_path):
     assert rows(t.read(version=v1)) == rows(final_state(first, payload_cols=("role", "text", "tool", "ts")).select("conv_id", "turn_idx", "text"))
     assert rows(t.read()) == rows(final_state(log, payload_cols=("role", "text", "tool", "ts")).select("conv_id", "turn_idx", "text"))
     assert v1 in t.versions()
+
+
+def test_lineage_shared_recorder_fences_per_query(spark, tmp_path):
+    """One recorder shared across query_ids with flush_every>1: each
+    query's rows must be fenced under its OWN (query, max-epoch) key —
+    otherwise the other queries' fences never advance and crash-replay
+    double-records them (ADVICE r2)."""
+    from sql_graph_visualizer_spark.lake.snapshot_table import MergeStats
+    from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+
+    def st(epoch):
+        return MergeStats(epoch, 10, 10, 0, 1, False, 5, epoch + 1)
+
+    path = os.path.join(str(tmp_path), "lin")
+    rec = LineageRecorder(spark, path, flush_every=4)
+    for e in range(2):
+        rec.record(st(e), "replay")
+        rec.record(st(e), "graph-sync")
+    rec.flush()
+    assert rec.table.last_committed_epoch("lineage:replay") == 1
+    assert rec.table.last_committed_epoch("lineage:graph-sync") == 1
+    # crash-replay: a fresh recorder re-records the same epochs -> fenced no-op
+    rec2 = LineageRecorder(spark, path, flush_every=4)
+    for e in range(2):
+        rec2.record(st(e), "replay")
+        rec2.record(st(e), "graph-sync")
+    rec2.flush()
+    rows = rec2.read().collect()
+    assert len(rows) == 4
+    assert sorted((r.query_id, int(r.epoch_id)) for r in rows) == [
+        ("graph-sync", 0), ("graph-sync", 1), ("replay", 0), ("replay", 1),
+    ]
+
+
+def test_merge_fallback_keeps_null_key_rows(spark, tmp_path):
+    """The size-guarded fallback semi-join must use null-safe key equality:
+    a winner row with a NULL key column must survive identically on both
+    paths — same batch, same merged state regardless of batch size
+    (ADVICE r2)."""
+    rows = [
+        (1, "insert", None, 0, "user", "null-conv", None, None),
+        (2, "insert", "c", None, "user", "null-turn", None, None),
+        (3, "insert", "c", 1, "user", "normal", None, None),
+    ]
+    mk = lambda: spark.createDataFrame(  # noqa: E731
+        rows,
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    t1, t2 = _table(spark, tmp_path, "bc"), _table(spark, tmp_path, "fb")
+    t1.merge_upsert(mk(), epoch_id=0, query_id="q")
+    t2.merge_upsert(mk(), epoch_id=0, query_id="q", broadcast_max_keys=1)
+    s1, s2 = _sorted_state(t1), _sorted_state(t2)
+    assert s1 == s2
+    assert len(s1) == 3  # NULL-key rows kept on both paths
