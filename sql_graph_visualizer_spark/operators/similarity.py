@@ -260,6 +260,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN top-k: coarse-quantize the corpus once (cell id per row),
     probe the query's ``probes`` nearest cells, exact-cosine re-rank the
@@ -268,10 +269,21 @@ def ivf_topk(
     Plan shape at scale: the corpus is scanned once for assignment and
     shuffles only on (cell) for the candidate join; query side is tiny
     and broadcast. Cost ∝ corpus/cells × probes per query — the
-    inverted-file trade every vector database makes."""
+    inverted-file trade every vector database makes.
+
+    ``centroids``: optionally supply the coarse quantizer directly as a
+    (cells × dim) matrix — the production deployment shape, where the
+    quantizer is trained offline (k-means over a sample) and loaded like
+    a model artifact. When omitted, deterministic seeded centroids are
+    drawn from the corpus (``ivf_centroids``)."""
     from pyspark.sql.window import Window
 
-    cent = ivf_centroids(embeddings, cells, id_col, vec_col)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        cent = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cells = cent.shape[0]
+    else:
+        cent = ivf_centroids(embeddings, cells, id_col, vec_col)
     corpus = ivf_cells(embeddings.select(id_col, vec_col), vec_col, cent, probes=1)
     corpus = corpus.select(id_col, vec_col, F.element_at("cell", 1).alias("cell"))
     q = ivf_cells(
