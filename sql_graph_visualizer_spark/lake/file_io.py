@@ -62,6 +62,9 @@ class LocalFileIO:
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
 
+    def getmtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
     def remove(self, path: str) -> None:
         os.remove(path)
 

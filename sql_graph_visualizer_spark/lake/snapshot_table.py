@@ -7,13 +7,22 @@ design deliberately mirrors Iceberg's Hadoop catalog so the engine code
 above it is backend-agnostic:
 
 - **Snapshots**: every commit writes an immutable JSON manifest
-  ``snapshots/v%08d.json`` listing the table's data files, then flips
-  ``version-hint.txt`` (Iceberg HadoopTableOperations does exactly this).
-  Manifest creation is create-if-absent — optimistic concurrency: a
-  racing writer loses and must retry on the new base snapshot. All
-  metadata IO goes through a pluggable FileIO (``lake/file_io.py``,
-  Iceberg's FileIO analogue) whose contract maps onto object-store
-  conditional PUTs, so the commit protocol is not POSIX-bound.
+  ``snapshots/v%08d.json``, then flips ``version-hint.txt`` (Iceberg
+  HadoopTableOperations does exactly this). Manifest creation is
+  create-if-absent — optimistic concurrency: a racing writer loses and
+  must retry on the new base snapshot. All metadata IO goes through a
+  pluggable FileIO (``lake/file_io.py``, Iceberg's FileIO analogue)
+  whose contract maps onto object-store conditional PUTs, so the commit
+  protocol is not POSIX-bound.
+- **Per-bucket manifest segments** (Iceberg's manifest-list → manifest
+  split): the top manifest carries, per bucket, only a pointer
+  ``{path, n, bytes}`` to an immutable ``segments/seg-*.json`` file
+  holding that bucket's data-file entries. A commit writes new segment
+  files ONLY for the buckets it touches and carries the other pointers
+  forward, so metadata bytes written per commit are ∝ touched buckets —
+  at 4096 buckets × long retention the top manifest stays a few hundred
+  KB of pointers while file entries never get rewritten wholesale.
+  Segment files are content-immutable, so readers cache them by path.
 - **Copy-on-write MERGE**: data files are hash-bucketed on the first key
   column (``bucket(N, conv_id)`` in Iceberg partition-spec terms). A merge
   only reads & rewrites the buckets its batch touches — work per epoch is
@@ -59,6 +68,7 @@ from sql_graph_visualizer_spark.operators.compaction import compact_lww
 from sql_graph_visualizer_spark.schema_evolution import align_to_schema, evolve_schema
 
 _SNAP_DIR = "snapshots"
+_SEG_DIR = "segments"
 _HINT = "version-hint.txt"
 _DATA_DIR = "data"
 
@@ -72,8 +82,8 @@ _SEQ = "_seq"
 _DELETED = "_deleted"
 
 
-def _total_bytes(files: dict[str, list[dict[str, Any]]]) -> int:
-    return sum(int(e.get("bytes", 0)) for fs in files.values() for e in fs)
+def _refs_total_bytes(segments: dict[str, dict[str, Any]]) -> int:
+    return sum(int(s.get("bytes", 0)) for s in segments.values())
 
 
 def _physical(schema: T.StructType) -> T.StructType:
@@ -133,6 +143,8 @@ class SnapshotTable:
         # metadata-plane IO (manifests/hints/listings) — pluggable, see
         # lake/file_io.py for the object-store mapping of each primitive
         self.io = io or LocalFileIO()
+        # segment files are immutable once written → cache by rel path
+        self._seg_cache: dict[str, list[dict[str, Any]]] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -149,6 +161,7 @@ class SnapshotTable:
     ) -> "SnapshotTable":
         t = cls(spark, path, io)
         t.io.makedirs(os.path.join(path, _SNAP_DIR))
+        t.io.makedirs(os.path.join(path, _SEG_DIR))
         t.io.makedirs(os.path.join(path, _DATA_DIR))
         manifest = {
             "version": 1,
@@ -157,7 +170,8 @@ class SnapshotTable:
             "key_cols": key_cols,
             "bucket_col": bucket_col or key_cols[0],
             "num_buckets": num_buckets,
-            "files": {},  # bucket(str) -> [{"path": rel, "schema_id": int}]
+            # bucket(str) -> {"path": segments/seg-*.json, "n": int, "bytes": int}
+            "segments": {},
             "epochs": {},
             "summary": {"operation": "create"},
             "parent": None,
@@ -255,16 +269,82 @@ class SnapshotTable:
 
     def size_stats(self, version: int | None = None) -> dict[str, int]:
         """Dataset size estimate straight from manifest metadata — no data
-        IO (S8: the reference sums information_schema data_length +
-        index_length, ``mysql/repository.go:492-538``; Iceberg exposes the
-        same as the total-files-size snapshot summary)."""
+        OR segment IO (S8: the reference sums information_schema
+        data_length + index_length, ``mysql/repository.go:492-538``;
+        Iceberg exposes the same as the total-files-size snapshot
+        summary). Per-bucket (n, bytes) ride in the segment pointers, so
+        this is O(buckets) arithmetic."""
         m = self.manifest(version)
-        entries = [e for fs in m["files"].values() for e in fs]
+        if "segments" in m:
+            refs = m["segments"]
+            return {
+                "total_files": sum(int(s.get("n", 0)) for s in refs.values()),
+                "total_bytes": _refs_total_bytes(refs),
+                "buckets": len(refs),
+            }
+        entries = [e for fs in m["files"].values() for e in fs]  # legacy inline
         return {
             "total_files": len(entries),
             "total_bytes": sum(int(e.get("bytes", 0)) for e in entries),
             "buckets": len(m["files"]),
         }
+
+    # ------------------------------------------------------------ segments
+
+    def _load_segment(self, rel: str) -> list[dict[str, Any]]:
+        """One bucket's data-file entries; segment files are immutable →
+        cached by path (manifest-churn never invalidates them)."""
+        if rel not in self._seg_cache:
+            self._seg_cache[rel] = json.loads(self.io.read_text(os.path.join(self.path, rel)))
+        return self._seg_cache[rel]
+
+    def _write_segment(self, entries: list[dict[str, Any]]) -> dict[str, Any]:
+        """Write an immutable segment file; returns its manifest pointer
+        (path + the stats size_stats serves without opening it)."""
+        rel = os.path.join(_SEG_DIR, f"seg-{uuid.uuid4().hex[:16]}.json")
+        self.io.create_exclusive(os.path.join(self.path, rel), json.dumps(entries))
+        self._seg_cache[rel] = entries
+        return {
+            "path": rel,
+            "n": len(entries),
+            "bytes": sum(int(e.get("bytes", 0)) for e in entries),
+        }
+
+    def _entries(
+        self, m: dict[str, Any], buckets: list[int] | None = None
+    ) -> list[dict[str, Any]]:
+        """Data-file entries for the selected buckets — bucket pruning
+        happens HERE, before any segment (let alone data) file is opened.
+        Handles both the segmented format and legacy inline ``files``."""
+        out: list[dict[str, Any]] = []
+        if "segments" in m:
+            for b, ref in m["segments"].items():
+                if buckets is None or int(b) in buckets:
+                    out.extend(self._load_segment(ref["path"]))
+            return out
+        for b, fs in m["files"].items():  # legacy inline
+            if buckets is None or int(b) in buckets:
+                out.extend(fs)
+        return out
+
+    def _seg_refs_for_write(self, cur: dict[str, Any]) -> dict[str, dict[str, Any]]:
+        """Current manifest's bucket → segment pointer map, as the base a
+        commit mutates. A legacy inline-``files`` manifest is migrated on
+        first write (one segment per existing bucket)."""
+        if "segments" in cur:
+            return dict(cur["segments"])
+        return {b: self._write_segment(list(fs)) for b, fs in cur["files"].items()}
+
+    @staticmethod
+    def _bucket_token(m: dict[str, Any], b: int) -> str | None:
+        """Identity of a bucket's current contents for conflict
+        validation: the segment path (unique per write) or, for legacy
+        manifests, the inline entry list."""
+        if "segments" in m:
+            ref = m["segments"].get(str(b))
+            return None if ref is None else ref["path"]
+        fs = m["files"].get(str(b))
+        return None if fs is None else json.dumps(fs, sort_keys=True)
 
     # --------------------------------------------------------------- reads
 
@@ -314,10 +394,7 @@ class SnapshotTable:
         system columns (the MERGE path needs them); ``version`` time-travels
         to a retained historical snapshot."""
         m = manifest if manifest is not None else self.manifest(version)
-        entries: list[dict[str, Any]] = []
-        for b, fs in m["files"].items():
-            if buckets is None or int(b) in buckets:
-                entries.extend(fs)
+        entries = self._entries(m, buckets)
         df = self._read_files(m, entries)
         if system:
             return df
@@ -454,7 +531,6 @@ class SnapshotTable:
             return MergeStats(epoch_id, 0, 0, 0, 0, True, 0, m["version"])
         # base snapshot facts for optimistic-concurrency validation
         base_schema_id = m["schema_id"]
-        base_files = dict(m["files"])
 
         # CDC meta columns never become table columns
         skip = {op_col, order_col, *meta_cols}
@@ -482,6 +558,7 @@ class SnapshotTable:
         winners = prepared.winners
         rows_in, deletes = prepared.rows_in, prepared.deletes
         affected = prepared.affected
+        base_tokens = {b: self._bucket_token(m, b) for b in affected}
         t_stats = time.monotonic()
         try:
             if rows_in == 0:
@@ -549,16 +626,26 @@ class SnapshotTable:
 
             new_files = self._write_data(result, m)
             affected_set = set(affected)
+            # segment files for the touched buckets are written ONCE, up
+            # front; a rebase-retry re-points the same immutable segments
+            # (validate() guarantees the base buckets didn't change).
+            # Metadata bytes written per commit ∝ touched buckets.
+            new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
 
             def build(cur: dict[str, Any]) -> dict[str, Any]:
-                files = {b: fs for b, fs in cur["files"].items() if int(b) not in affected_set}
-                files.update(new_files)
+                refs = {
+                    b: r
+                    for b, r in self._seg_refs_for_write(cur).items()
+                    if int(b) not in affected_set
+                }
+                refs.update(new_segs)
                 c = dict(cur)
+                c.pop("files", None)
                 # carry our (possibly evolved) schema history; validate()
                 # guarantees no concurrent evolution raced us
                 c["schemas"] = m["schemas"]
                 c["schema_id"] = m["schema_id"]
-                c["files"] = files
+                c["segments"] = refs
                 c["version"] = cur["version"] + 1
                 c["parent"] = cur["version"]
                 c["epochs"] = dict(cur["epochs"])
@@ -570,7 +657,7 @@ class SnapshotTable:
                     "rows": rows_in,
                     "deletes": deletes,
                     "buckets": len(affected),
-                    "total_files_bytes": _total_bytes(files),
+                    "total_files_bytes": _refs_total_bytes(refs),
                 }
                 return c
 
@@ -584,7 +671,7 @@ class SnapshotTable:
                         f"concurrent schema evolution on {self.path}"
                     )
                 for b in affected:
-                    if cur["files"].get(str(b)) != base_files.get(str(b)):
+                    if self._bucket_token(cur, b) != base_tokens[b]:
                         raise CommitConflictError(
                             f"bucket {b} rewritten concurrently on {self.path}"
                         )
@@ -622,16 +709,22 @@ class SnapshotTable:
         new_files = self._write_data(rows, m)
 
         def build(cur: dict[str, Any]) -> dict[str, Any]:
-            c = dict(cur)
-            c["files"] = {b: list(fs) for b, fs in cur["files"].items()}
+            # appended buckets get a new segment = current entries + new;
+            # built inside build() because a rebase may find the bucket
+            # grown by a concurrent append (appends commute)
+            refs = self._seg_refs_for_write(cur)
             for b, fs in new_files.items():
-                c["files"].setdefault(b, []).extend(fs)
+                prev = self._load_segment(refs[b]["path"]) if b in refs else []
+                refs[b] = self._write_segment(list(prev) + list(fs))
+            c = dict(cur)
+            c.pop("files", None)
+            c["segments"] = refs
             c["version"] = cur["version"] + 1
             c["parent"] = cur["version"]
             c["epochs"] = dict(cur["epochs"])
             if epoch_id >= 0:
                 c["epochs"][query_id] = epoch_id
-            c["summary"] = {"operation": "append", "total_files_bytes": _total_bytes(c["files"])}
+            c["summary"] = {"operation": "append", "total_files_bytes": _refs_total_bytes(refs)}
             return c
 
         # appends commute (no bucket is rewritten) → rebase-and-retry
@@ -649,11 +742,18 @@ class SnapshotTable:
             ~(F.coalesce(F.col(_DELETED), F.lit(False)) & (F.col(_SEQ) < older_than_seq))
         )
         new_files = self._write_data(df, m)
-        base_files = dict(m["files"])
+        new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+
+        def tokens(mm: dict[str, Any]) -> dict[str, str | None]:
+            bs = mm.get("segments") if "segments" in mm else mm["files"]
+            return {b: self._bucket_token(mm, int(b)) for b in bs}
+
+        base_tokens = tokens(m)
 
         def build(cur: dict[str, Any]) -> dict[str, Any]:
             c = dict(cur)
-            c["files"] = new_files
+            c.pop("files", None)
+            c["segments"] = dict(new_segs)
             c["version"] = cur["version"] + 1
             c["parent"] = cur["version"]
             c["summary"] = {"operation": "expire-tombstones", "horizon": older_than_seq}
@@ -661,7 +761,7 @@ class SnapshotTable:
 
         def validate(cur: dict[str, Any]) -> None:
             # full-table rewrite: ANY concurrent data commit makes it stale
-            if cur["files"] != base_files:
+            if tokens(cur) != base_tokens:
                 raise CommitConflictError(
                     f"table changed under expire_tombstones on {self.path}"
                 )
@@ -671,25 +771,67 @@ class SnapshotTable:
 
     # -------------------------------------------------------- maintenance
 
-    def expire_snapshots(self, keep_last: int = 3) -> int:
-        """Drop old manifests and any commit dirs no kept snapshot
-        references (Iceberg expire_snapshots + remove_orphan_files)."""
+    def expire_snapshots(self, keep_last: int = 3, older_than_seconds: float | None = None) -> int:
+        """Drop old manifests, segment files and commit dirs no kept
+        snapshot references (Iceberg expire_snapshots +
+        remove_orphan_files; orphaned segments also arise from commit
+        retries, which write fresh segment files per attempt).
+
+        ``older_than_seconds``: age grace (Iceberg's ``older_than`` /
+        ``remove_orphan_files(older_than=...)``) — never expire a
+        snapshot committed more recently than this, and never remove an
+        "orphan" commit dir or segment file younger than it. Both halves
+        matter under concurrency: an in-flight merge (a) reads data
+        files of its base snapshot until its job finishes, and (b)
+        writes its new commit dir BEFORE any manifest references it —
+        so without the grace a concurrent cleanup sees a live write as
+        an orphan and deletes it mid-job. Concurrent maintenance MUST
+        pass a grace exceeding the longest expected commit (the soak
+        test runs exactly this interleaving)."""
         snap_dir = os.path.join(self.path, _SNAP_DIR)
         versions = self.versions()
         keep = set(versions[-keep_last:])
+        if older_than_seconds is not None:
+            cutoff = time.time() - older_than_seconds
+            for v in versions:
+                if v in keep:
+                    continue
+                try:
+                    if self.io.getmtime(os.path.join(snap_dir, f"v{v:08d}.json")) >= cutoff:
+                        keep.add(v)
+                except OSError:
+                    keep.add(v)
         live_commits: set[str] = set()
+        live_segs: set[str] = set()
         for v in keep:
             mm = json.loads(self.io.read_text(os.path.join(snap_dir, f"v{v:08d}.json")))
-            for fs in mm["files"].values():
-                for e in fs:
-                    live_commits.add(e["path"].split(os.sep)[1])
+            for ref in (mm.get("segments") or {}).values():
+                live_segs.add(os.path.basename(ref["path"]))
+            for e in self._entries(mm):
+                live_commits.add(e["path"].split(os.sep)[1])
         removed = 0
         for v in versions:
             if v not in keep:
                 self.io.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
                 removed += 1
+
+        def too_young(path: str) -> bool:
+            if older_than_seconds is None:
+                return False
+            try:
+                return self.io.getmtime(path) >= time.time() - older_than_seconds
+            except OSError:
+                return True  # vanished/unreadable: leave it alone
+
         data_dir = os.path.join(self.path, _DATA_DIR)
         for d in self.io.listdir(data_dir):
-            if d.startswith("commit-") and d not in live_commits:
-                self.io.rmtree(os.path.join(data_dir, d))
+            p = os.path.join(data_dir, d)
+            if d.startswith("commit-") and d not in live_commits and not too_young(p):
+                self.io.rmtree(p)
+        seg_dir = os.path.join(self.path, _SEG_DIR)
+        if self.io.exists(seg_dir):
+            for f in self.io.listdir(seg_dir):
+                p = os.path.join(seg_dir, f)
+                if f.startswith("seg-") and f not in live_segs and not too_young(p):
+                    self.io.remove(p)
         return removed

@@ -26,10 +26,50 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sql_graph_visualizer_spark.lake.snapshot_table import MergeStats, SnapshotTable
+from sql_graph_visualizer_spark.lake.snapshot_table import (
+    CommitConflictError,
+    MergeStats,
+    PreparedMerge,
+    SnapshotTable,
+)
 from sql_graph_visualizer_spark.operators.skew import compact_lww_salted
 from sql_graph_visualizer_spark.sources.cdc_gen import read_cdc_stream
 from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+
+
+def merge_with_retry(
+    table: SnapshotTable,
+    batch: DataFrame,
+    epoch_id: int,
+    query_id: str,
+    conflict_retries: int = 2,
+    prepared: PreparedMerge | None = None,
+) -> MergeStats:
+    """MERGE an epoch, re-running it on ``CommitConflictError``.
+
+    A conflict means a concurrent commit (tombstone expiry, compaction,
+    another writer) invalidated this merge's base snapshot — the merge
+    must be *recomputed* on the new base, not rebased (the existing-rows
+    read is stale). The ingest loop owns that retry: maintenance jobs
+    yield to ingest by design (they validate-and-fail cheaply), so the
+    retry re-reads the rewritten buckets and converges. Epoch fencing
+    makes the retry safe even if the conflicting commit was a racing
+    twin of this very epoch."""
+    for attempt in range(conflict_retries + 1):
+        try:
+            return table.merge_upsert(
+                batch, epoch_id=epoch_id, query_id=query_id, prepared=prepared
+            )
+        except CommitConflictError:
+            prepared = None  # recompute winners against the new base
+            if attempt == conflict_retries:
+                raise
+            # linear backoff so ingest doesn't lock-step with a periodic
+            # maintenance rewrite (full-table expiry conflicts with EVERY
+            # in-flight merge; without jittered backoff the two can
+            # livelock at matched cadences)
+            time.sleep(0.2 * (attempt + 1))
+    raise AssertionError("unreachable")
 
 
 def replay_stream(
@@ -44,6 +84,7 @@ def replay_stream(
     lineage: LineageRecorder | None = None,
     hot_threshold: int | None = None,
     on_batch: Callable[[DataFrame, int, MergeStats], None] | None = None,
+    conflict_retries: int = 2,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -67,7 +108,9 @@ def replay_stream(
             if hot_threshold is not None
             else batch
         )
-        st = table.merge_upsert(prepared, epoch_id=int(epoch_id), query_id=query_id)
+        st = merge_with_retry(
+            table, prepared, int(epoch_id), query_id, conflict_retries=conflict_retries
+        )
         st.duration_ms = int((time.monotonic() - t0) * 1000)
         stats.append(st)
         if lineage is not None:
@@ -105,6 +148,7 @@ def replay_batch(
     lineage: LineageRecorder | None = None,
     bounds: tuple[int, int] | None = None,
     pipeline: bool = True,
+    conflict_retries: int = 2,
 ) -> list[MergeStats]:
     """Bounded batch replay: split the log into ``epochs`` contiguous seq
     ranges and merge them in order — the deterministic, driver-friendly
@@ -150,8 +194,9 @@ def replay_batch(
                 if pipeline and e + 1 < epochs
                 else None
             )
-            st = table.merge_upsert(
-                chunk, epoch_id=e, query_id=query_id, prepared=prepared
+            st = merge_with_retry(
+                table, chunk, e, query_id,
+                conflict_retries=conflict_retries, prepared=prepared,
             )
             stats.append(st)
             if lineage is not None:

@@ -86,8 +86,15 @@ def test_merge_only_rewrites_touched_buckets(spark, tmp_path):
     st = t.merge_upsert(one_conv, epoch_id=1, query_id="q")
     assert st.buckets_touched == 1
     m2 = t.manifest()
-    untouched = [b for b in m1["files"] if m1["files"][b] == m2["files"].get(b)]
-    assert len(untouched) >= len(m1["files"]) - 1  # all but the touched bucket carried over
+    untouched = [
+        b for b in m1["segments"]
+        if m1["segments"][b]["path"] == m2["segments"].get(b, {}).get("path")
+    ]
+    assert len(untouched) >= len(m1["segments"]) - 1  # all but the touched bucket carried over
+    # segment files written by the second commit ∝ touched buckets (scale
+    # hygiene: commit metadata IO is bounded by the batch's bucket set)
+    rewritten = [b for b in m2["segments"] if b not in untouched]
+    assert len(rewritten) == 1
 
 
 def test_merge_broadcast_fallback_same_result(spark, tmp_path):
@@ -111,9 +118,7 @@ def test_size_stats_tracks_bytes(spark, tmp_path):
     assert s["total_files"] > 0 and s["buckets"] > 0
     m = t.manifest()
     on_disk = sum(
-        os.path.getsize(os.path.join(t.path, e["path"]))
-        for fs in m["files"].values()
-        for e in fs
+        os.path.getsize(os.path.join(t.path, e["path"])) for e in t._entries(m)
     )
     assert s["total_bytes"] == on_disk > 0
     assert m["summary"]["total_files_bytes"] == on_disk
@@ -260,11 +265,11 @@ def _inject_competing_commit(t, touch_bucket=None):
             fired["done"] = True
             cur = t.manifest()
             competitor = dict(cur)
-            competitor["files"] = {b: list(fs) for b, fs in cur["files"].items()}
+            competitor["segments"] = dict(cur["segments"])
             if touch_bucket is not None:
-                competitor["files"][str(touch_bucket)] = [
-                    {"path": "data/commit-competitor/x.parquet", "schema_id": 0, "bytes": 1}
-                ]
+                competitor["segments"][str(touch_bucket)] = {
+                    "path": "segments/seg-competitor.json", "n": 1, "bytes": 1,
+                }
             competitor["version"] = cur["version"] + 1
             competitor["parent"] = cur["version"]
             competitor["epochs"] = dict(cur["epochs"])
@@ -303,7 +308,7 @@ def test_commit_race_conflicting_bucket_raises(spark, tmp_path):
     t = _table(spark, tmp_path, buckets=4)
     log = gen_cdc_log(spark, 400, num_convs=5, turns_per_conv=6)
     t.merge_upsert(log.filter(F.col("seq") < 200), epoch_id=0, query_id="q")
-    touched = sorted(int(b) for b in t.manifest()["files"])[0]
+    touched = sorted(int(b) for b in t.manifest()["segments"])[0]
     _inject_competing_commit(t, touch_bucket=touched)
     with pytest.raises(CommitConflictError):
         t.merge_upsert(log.filter(F.col("seq") >= 200), epoch_id=1, query_id="q")
@@ -457,3 +462,64 @@ def test_merge_fallback_keeps_null_key_rows(spark, tmp_path):
     s1, s2 = _sorted_state(t1), _sorted_state(t2)
     assert s1 == s2
     assert len(s1) == 3  # NULL-key rows kept on both paths
+
+
+def test_legacy_inline_manifest_read_and_migrate(spark, tmp_path):
+    """A manifest written by the pre-segment format (inline per-bucket
+    ``files`` lists) stays readable, and the first write migrates it to
+    per-bucket segments without changing table contents."""
+    import json
+
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 400, num_convs=5, turns_per_conv=6)
+    t.merge_upsert(log.filter(F.col("seq") < 200), epoch_id=0, query_id="q")
+    # rewrite the current manifest into the legacy inline shape
+    m = t.manifest()
+    legacy = dict(m)
+    legacy["files"] = {b: t._load_segment(r["path"]) for b, r in m["segments"].items()}
+    del legacy["segments"]
+    legacy["version"] = m["version"] + 1
+    legacy["parent"] = m["version"]
+    t._write_manifest(legacy)
+    t2 = SnapshotTable(spark, t.path)  # fresh instance, no caches
+    before = _sorted_state(t2)
+    assert len(before) > 0
+    assert t2.size_stats()["total_bytes"] > 0  # legacy stats path
+    st = t2.merge_upsert(log.filter(F.col("seq") >= 200), epoch_id=1, query_id="q")
+    assert not st.skipped
+    m2 = t2.manifest()
+    assert "segments" in m2 and "files" not in m2  # migrated
+    expected = final_state(log, payload_cols=("text",))
+    got = t2.read().select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_commit_metadata_io_bounded_by_touched_buckets(spark, tmp_path):
+    """Scale hygiene: per-commit metadata WRITES are ∝ touched buckets —
+    one new segment file for a 1-bucket merge — never a rewrite of every
+    bucket's file entries (the single-JSON-manifest trap VERDICT r2
+    flagged for 4096-bucket × long-retention tables)."""
+    from sql_graph_visualizer_spark.lake.file_io import LocalFileIO
+
+    class CountingIO(LocalFileIO):
+        def __init__(self):
+            self.created: list[str] = []
+
+        def create_exclusive(self, path, data):
+            self.created.append(path)
+            super().create_exclusive(path, data)
+
+    io = CountingIO()
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, num_buckets=32, io=io
+    )
+    log = gen_cdc_log(spark, 2000, num_convs=40, turns_per_conv=6)
+    t.merge_upsert(log, epoch_id=0, query_id="q")
+    io.created.clear()
+    one_conv = log.filter(F.col("conv_id") == log.select("conv_id").first()[0]).limit(5)
+    st = t.merge_upsert(one_conv, epoch_id=1, query_id="q")
+    assert st.buckets_touched == 1
+    segs = [p for p in io.created if f"{os.sep}segments{os.sep}" in p]
+    manifests = [p for p in io.created if f"{os.sep}snapshots{os.sep}" in p]
+    assert len(segs) == 1  # exactly the touched bucket's segment
+    assert len(manifests) == 1

@@ -1,0 +1,119 @@
+"""Sustained-mode soak: processing-time-trigger replay with CONCURRENT
+maintenance (tombstone expiry + snapshot expiry + lineage flush).
+
+The commit-conflict paths are individually tested in test_lake.py; this
+exercises them together under real interleaving: maintenance commits
+race the ingest merges, losers validate-and-fail (CommitConflictError)
+or rebase, the ingest loop retries conflicted merges on the new base
+(``merge_with_retry``), and the final table state must still equal the
+batch oracle with complete lineage.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import types as T
+
+from sql_graph_visualizer_spark.lake.snapshot_table import (
+    CommitConflictError,
+    SnapshotTable,
+)
+from sql_graph_visualizer_spark.operators.compaction import final_state
+from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log, write_cdc_log_dir
+from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+from sql_graph_visualizer_spark.streaming.replay import replay_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def test_soak_sustained_replay_with_concurrent_maintenance(spark, tmp_path):
+    n_events, n_files = 4000, 8
+    log = gen_cdc_log(spark, n_events, num_convs=20, turns_per_conv=6)
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=n_files)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    lineage = LineageRecorder(spark, str(tmp_path / "lin"), flush_every=3)
+
+    outcome = {"expired_t": 0, "expired_s": 0, "conflicts": 0, "errors": []}
+    stop = threading.Event()
+
+    def maintenance():
+        # the maintenance loop of a long-running ingest: expire old
+        # tombstones + snapshots while merges land; full-table rewrites
+        # validate against the base snapshot and LOSE to concurrent
+        # ingest (CommitConflictError) — by design they just try again
+        while not stop.is_set():
+            try:
+                table.expire_tombstones(older_than_seq=1)
+                outcome["expired_t"] += 1
+            except CommitConflictError:
+                outcome["conflicts"] += 1
+            except Exception as ex:  # noqa: BLE001
+                outcome["errors"].append(f"tomb: {ex!r}")
+            try:
+                # age grace: never expire a snapshot an in-flight merge
+                # may still be reading (see expire_snapshots docstring)
+                table.expire_snapshots(keep_last=3, older_than_seconds=45)
+                outcome["expired_s"] += 1
+            except Exception as ex:  # noqa: BLE001
+                outcome["errors"].append(f"snap: {ex!r}")
+            time.sleep(2.0)
+
+    worker = threading.Thread(target=maintenance, daemon=True)
+    worker.start()
+    try:
+        # sustained mode: live query, one file per micro-batch
+        query = replay_stream(
+            spark,
+            log_dir,
+            table,
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            available_now=False,
+            processing_time="250 milliseconds",
+            lineage=lineage,
+            conflict_retries=6,
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if query.exception() is not None:
+                break  # stream died — surface it via awaitTermination below
+            if len(query.merge_stats) >= n_files:
+                break
+            time.sleep(0.3)
+        query.stop()
+        query.awaitTermination(30)
+    finally:
+        stop.set()
+        worker.join(timeout=10)
+
+    assert not outcome["errors"], outcome["errors"]
+    # maintenance genuinely ran (and at least once successfully) amid ingest
+    assert outcome["expired_t"] + outcome["conflicts"] >= 3
+    assert outcome["expired_s"] >= 1
+    # exactly-once final state: equals the independent batch compaction
+    expected = final_state(log, payload_cols=("role", "text", "tool", "ts"))
+    got = table.read()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # lineage complete: one row per committed epoch, none double-counted
+    lin = lineage.read().filter("query_id = 'cdc-replay'").collect()
+    epochs = sorted(int(r.epoch_id) for r in lin)
+    assert epochs == sorted(set(epochs))  # no double-records
+    assert len(epochs) == len(query.merge_stats)
+    # post-run expiry without grace: current state survives full cleanup
+    before = sorted(map(tuple, table.read().collect()))
+    table.expire_snapshots(keep_last=1)
+    assert sorted(map(tuple, table.read().collect())) == before
