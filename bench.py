@@ -27,7 +27,7 @@ from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
 from sql_graph_visualizer_spark.operators.dedup import minhash_lsh_pairs
 from sql_graph_visualizer_spark.plans.graph_builder import build_conv_edges_arrow
 from sql_graph_visualizer_spark.session import get_spark
-from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log
+from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log, read_cdc_log
 from sql_graph_visualizer_spark.sources.events_cdc import TRANSCRIPT_SCHEMA, derive_cdc_log
 from sql_graph_visualizer_spark.streaming.replay import replay_batch
 
@@ -61,11 +61,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # --- flagship: sustained CDC replay throughput (engine MERGE path).
-    # Warm first (codegen/JIT compile is not sustained throughput), then
-    # measure a 4-epoch replay of the full log.
+    # The change log is MATERIALIZED first (untimed) as gzip JSON lines —
+    # the Debezium/Maxwell binlog-tail shape bench_scaling.py also uses —
+    # so the timed replay measures the engine (parse → winner agg →
+    # MERGE), not the synthetic generator's arithmetic. Warm first
+    # (codegen/JIT compile is not sustained throughput), then measure a
+    # 4-epoch replay of the full log.
     def cdc_throughput() -> None:
         base = tempfile.mkdtemp(prefix="bench_cdc_", dir=scratch)
-        log = gen_cdc_log(spark, GEN_EVENTS, num_convs=max(1000, GEN_EVENTS // 1000))
+        log_dir = os.path.join(base, "log")
+        gen_cdc_log(
+            spark, GEN_EVENTS, num_convs=max(1000, GEN_EVENTS // 1000), num_partitions=64
+        ).write.mode("overwrite").option("compression", "gzip").json(log_dir)
+        log = read_cdc_log(spark, log_dir, fmt="json")
         warm = SnapshotTable.create(
             spark, os.path.join(base, "w"), TRANSCRIPT_SCHEMA,
             key_cols=["conv_id", "turn_idx"], num_buckets=CPUS,
@@ -82,7 +90,7 @@ def main() -> None:
             num_buckets=CPUS,
         )
         t0 = time.perf_counter()
-        # the generator's LSN range is known — same as a binlog tail
+        # the log's LSN range is known — same as a binlog tail
         replay_batch(log, table, epochs=4, bounds=(0, GEN_EVENTS - 1))
         dt = time.perf_counter() - t0
         extra["cdc_events_per_sec"] = round(GEN_EVENTS / dt, 1)

@@ -149,6 +149,7 @@ def replay_batch(
     bounds: tuple[int, int] | None = None,
     pipeline: bool = True,
     conflict_retries: int = 2,
+    prefetch_seqs: bool = False,
 ) -> list[MergeStats]:
     """Bounded batch replay: split the log into ``epochs`` contiguous seq
     ranges and merge them in order — the deterministic, driver-friendly
@@ -164,7 +165,18 @@ def replay_batch(
     barrier waits and straggler tails of the write stage, which is
     exactly the time a bigger cluster otherwise wastes. Commit order,
     fencing and results are unchanged (winners are a pure function of
-    the chunk)."""
+    the chunk).
+
+    ``prefetch_seqs``: additionally pre-collect each epoch's winner LSNs
+    during prepare and filter survivors via a broadcast sorted array +
+    Arrow UDF instead of a broadcast-hash join (see
+    ``PreparedMerge.winner_seqs``). Off by default: measured on this
+    sandbox (local-cluster 4x4, 16M events, best-of-2) it is ~11%
+    SLOWER — the Arrow column round-trip costs more than the ~0.7 s/epoch
+    broadcast-relation build it hides. The path exists (and is tested)
+    because on a real wide cluster the trade can flip: the driver-side
+    relation build is serial at ANY cluster size, while the Arrow filter
+    cost shrinks with executors."""
     if bounds is None:
         row = log.selectExpr(f"min({order_col}) lo", f"max({order_col}) hi").collect()[0]
         if row["lo"] is None:
@@ -185,12 +197,17 @@ def replay_batch(
     with ThreadPoolExecutor(max_workers=1) as pool:
         nxt = None
         if pipeline:
-            nxt = pool.submit(table.merge_prepare, chunk_of(0), order_col=order_col)
+            nxt = pool.submit(
+                table.merge_prepare, chunk_of(0), order_col=order_col, collect_seqs=prefetch_seqs
+            )
         for e in range(epochs):
             chunk = chunk_of(e)
             prepared = nxt.result() if nxt is not None else None
             nxt = (
-                pool.submit(table.merge_prepare, chunk_of(e + 1), order_col=order_col)
+                pool.submit(
+                    table.merge_prepare, chunk_of(e + 1), order_col=order_col,
+                    collect_seqs=prefetch_seqs,
+                )
                 if pipeline and e + 1 < epochs
                 else None
             )

@@ -153,3 +153,22 @@ def test_tombstone_expiry_is_state_preserving(spark, tmp_path):
     t.expire_tombstones(older_than_seq=10_000)
     assert t.read(system=True).filter("_deleted").count() == 0
     assert _state(t) == before
+
+
+def test_prefetch_seqs_filter_matches_default_path(spark, tmp_path):
+    """prefetch_seqs=True (winner LSNs pre-collected in prepare, survivors
+    filtered by a broadcast sorted array + Arrow UDF) must produce the
+    exact same merged state as the default broadcast-hash-join path."""
+    import os
+
+    from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
+
+    log = gen_cdc_log(spark, 1200, num_convs=10, turns_per_conv=6)
+    mk = lambda n: SnapshotTable.create(  # noqa: E731
+        spark, os.path.join(str(tmp_path), n), SCHEMA, ["conv_id", "turn_idx"], num_buckets=8
+    )
+    t1, t2 = mk("default"), mk("prefetch")
+    replay_batch(log, t1, epochs=3)
+    replay_batch(log, t2, epochs=3, prefetch_seqs=True)
+    rows = lambda t: sorted(map(tuple, t.read().collect()))  # noqa: E731
+    assert rows(t1) == rows(t2)
