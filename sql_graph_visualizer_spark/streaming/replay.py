@@ -85,6 +85,7 @@ def replay_stream(
     hot_threshold: int | None = None,
     on_batch: Callable[[DataFrame, int, MergeStats], None] | None = None,
     conflict_retries: int = 2,
+    fmt: str = "parquet",
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -118,7 +119,7 @@ def replay_stream(
         if on_batch is not None:
             on_batch(batch, int(epoch_id), st)
 
-    stream = read_cdc_stream(spark, log_dir, max_files_per_trigger)
+    stream = read_cdc_stream(spark, log_dir, max_files_per_trigger, fmt=fmt)
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
     )
