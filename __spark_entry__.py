@@ -929,6 +929,40 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_sql_digest_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statement-digest analysis (performance_schema_adapter.go:691-742):
+    classify query type by prefix and extract the first referenced table
+    (next token after FROM/INTO/UPDATE/JOIN), then aggregate per
+    (type, table) — the reference's per-statement Go string walk as two
+    vectorized expressions over a statement corpus derived
+    arithmetically from ``events`` (so the oracle rebuilds it)."""
+    from sql_graph_visualizer_spark.operators.text import classify_sql, extract_sql_table
+
+    e = _read(spark, sf_dir, "events")
+    tbl = F.concat(F.lit("tbl_"), F.pmod(F.col("user_id"), F.lit(7)).cast("string"))
+    eid = F.col("event_id").cast("string")
+    stmt = (
+        F.when(F.col("event_type") == "click",
+               F.concat(F.lit("SELECT * FROM "), tbl, F.lit(" WHERE id = "), eid))
+        .when(F.col("event_type") == "view",
+              F.concat(F.lit("SELECT name FROM "), tbl, F.lit(" JOIN ref_x ON a = b")))
+        .when(F.col("event_type") == "purchase",
+              F.concat(F.lit("INSERT INTO "), tbl, F.lit(" VALUES ("), eid, F.lit(")")))
+        .when(F.col("event_type") == "signup",
+              F.concat(F.lit("UPDATE "), tbl, F.lit(" SET x = 1 WHERE id = "), eid))
+        .otherwise(F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE id = "), eid))
+    )
+    digests = e.select(
+        classify_sql(stmt).alias("query_type"),
+        extract_sql_table(stmt).alias("table_name"),
+        F.length(stmt).alias("n_chars"),
+    )
+    return digests.groupBy("query_type", "table_name").agg(
+        F.count("*").alias("n_statements"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring ladder (length / punctuation sanity / stopword
     presence → clamped weighted composite, the reference's hotspot-score
@@ -1052,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_events": q_window_lag_events,
         "scalar_string_funcs": q_scalar_string_funcs,
         "json_extract_props": q_json_extract_props,
+        "sql_digest_analysis": q_sql_digest_analysis,
         # training-data pipeline ops
         "text_profile": q_text_profile,
         "text_lang": q_text_lang,
@@ -1438,6 +1473,35 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
   count(*) AS n_orders,
   min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
 FROM orders GROUP BY 1
+""",
+        "sql_digest_analysis": """
+WITH digests AS (
+  SELECT
+    CASE event_type
+      WHEN 'click' THEN 'SELECT * FROM tbl_' || CAST(user_id % 7 AS VARCHAR) || ' WHERE id = ' || CAST(event_id AS VARCHAR)
+      WHEN 'view' THEN 'SELECT name FROM tbl_' || CAST(user_id % 7 AS VARCHAR) || ' JOIN ref_x ON a = b'
+      WHEN 'purchase' THEN 'INSERT INTO tbl_' || CAST(user_id % 7 AS VARCHAR) || ' VALUES (' || CAST(event_id AS VARCHAR) || ')'
+      WHEN 'signup' THEN 'UPDATE tbl_' || CAST(user_id % 7 AS VARCHAR) || ' SET x = 1 WHERE id = ' || CAST(event_id AS VARCHAR)
+      ELSE 'DELETE FROM tbl_' || CAST(user_id % 7 AS VARCHAR) || ' WHERE id = ' || CAST(event_id AS VARCHAR)
+    END AS stmt
+  FROM events
+), analyzed AS (
+  SELECT
+    CASE
+      WHEN upper(trim(stmt)) LIKE 'SELECT%' THEN 'select'
+      WHEN upper(trim(stmt)) LIKE 'INSERT%' THEN 'insert'
+      WHEN upper(trim(stmt)) LIKE 'UPDATE%' THEN 'update'
+      WHEN upper(trim(stmt)) LIKE 'DELETE%' THEN 'delete'
+      ELSE 'other'
+    END AS query_type,
+    regexp_extract(stmt, '(?i)(?:FROM|INTO|UPDATE|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)', 1) AS table_name,
+    length(stmt) AS n_chars
+  FROM digests
+)
+SELECT query_type, table_name,
+       count(*) AS n_statements,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM analyzed GROUP BY query_type, table_name
 """,
         "json_extract_props": """
 SELECT event_type,

@@ -121,3 +121,31 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+# ------------------------------------------------------- SQL-digest analysis
+
+SQL_TABLE_PATTERN = r"(?i)(?:FROM|INTO|UPDATE|JOIN)\s+([a-zA-Z_][a-zA-Z_0-9]*)"
+
+
+def classify_sql(col: Column | str) -> Column:
+    """Query-type classification by statement prefix — the reference's
+    statement-analysis ladder (performance_schema_adapter.go:717-742),
+    as a when/startswith expression chain (JVM-side, codegen'd)."""
+    c = F.upper(F.trim(F.col(col) if isinstance(col, str) else col))
+    return (
+        F.when(c.startswith("SELECT"), F.lit("select"))
+        .when(c.startswith("INSERT"), F.lit("insert"))
+        .when(c.startswith("UPDATE"), F.lit("update"))
+        .when(c.startswith("DELETE"), F.lit("delete"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def extract_sql_table(col: Column | str) -> Column:
+    """First referenced table name from a SQL statement text — the
+    reference's next-token-after-FROM/INTO/UPDATE/JOIN extraction
+    (performance_schema_adapter.go:691-716), as one vectorized
+    regexp_extract instead of a per-row string walk."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, SQL_TABLE_PATTERN, 1)
