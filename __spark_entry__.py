@@ -317,6 +317,22 @@ def q_graph_search_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation content digest via a GROUPED_AGG pandas UDF
+    (SURVEY §2.10 UDAF surface — the 'custom lineage digest' row):
+    order-independent Σ portable-hash(text) mod 2^61-1 per conv_id over
+    the replayed final state. The per-row hash is a JVM expression; the
+    UDF does only the arbitrary-precision modular sum. Expression twin
+    + equality test in tests/test_rules_and_stats.py; the oracle
+    recomputes the digest with DuckDB's HUGEINT sum."""
+    from sql_graph_visualizer_spark.operators.stats import group_digest
+
+    state = _replayed(spark, sf_dir, "batch").read()
+    return group_digest(state, "conv_id", "text").withColumn(
+        "n_rows", F.col("n_rows").cast("long")
+    )
+
+
 def q_graph_search_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-API parity: SearchNodes over the FULL property bag of the
     rules-built nodes table (schema.resolvers.go:192-196 — the reference
@@ -1065,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nodes_by_type": q_graph_nodes_by_type,
         "graph_search_nodes": q_graph_search_nodes,
         "graph_search_props": q_graph_search_props,
+        "graph_conv_digest": q_graph_conv_digest,
         "graph_node_by_id": q_graph_node_by_id,
         # multimodal plumbing (stubbed codecs, real Arrow/mapInPandas path)
         "mm_decode": q_mm_decode,
@@ -1230,6 +1247,13 @@ FROM winners WHERE op <> 'delete' AND role = 'tool'
         + """
 SELECT conv_id, turn_idx, text
 FROM winners WHERE op <> 'delete' AND contains(text, '"k": 7')
+""",
+        "graph_conv_digest": _WINNERS
+        + """
+SELECT conv_id, count(*) AS n_rows,
+  CAST(CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS HUGEINT)
+       % 2305843009213693951 AS BIGINT) AS digest
+FROM winners WHERE op <> 'delete' GROUP BY conv_id
 """,
         "graph_search_props": """
 SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS node_id,

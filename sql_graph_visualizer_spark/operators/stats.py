@@ -79,3 +79,61 @@ def numeric_quantiles(df: DataFrame, col: str, probs: list[float], rel_err: floa
     ``equi_width_histogram`` with fixed bounds so the heavy pass is a
     plain hash aggregation. Driver-side result (list of floats)."""
     return df.approxQuantile(col, probs, rel_err)
+
+
+# ------------------------------------------------- grouped-agg text digest
+
+DIGEST_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne): sums never collide mod-wise by overflow
+
+# SURVEY §2.10's UDAF row ("custom lineage digest"): an order-independent
+# per-group content digest = Σ portable-60-bit-hash(text) mod 2^61-1.
+# The per-row hash is a JVM expression (the md5-prefix family the dedup
+# oracle uses); only the arbitrary-precision modular sum is custom.
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit text hash both engines share: Spark
+    conv(substr(md5(s),1,15),16,10)::long == DuckDB
+    CAST('0x'||substr(md5(s),1,15) AS BIGINT) (same family as
+    operators/dedup portable=True)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def group_digest(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Per-group digest via a GROUPED_AGG pandas UDF (§2.10 UDAF surface).
+
+    The hash per row stays a JVM expression; the UDF only performs the
+    arbitrary-precision modular sum (int64 would overflow at ~8 rows of
+    2^60). An expression twin exists (``group_digest_expr``: decimal(38)
+    sum, headroom to ~1e18 rows per group) and tests assert equality —
+    the UDAF form is the general shape for digests that are NOT
+    decimal-expressible (e.g. xor/rolling digests)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def modsum(h):
+        return int(sum(int(x) for x in h) % DIGEST_MOD)
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg clause, so the row count is a second pandas aggregate
+    digest = pandas_udf(modsum, "long", PandasUDFType.GROUPED_AGG)
+    nrows = pandas_udf(lambda h: len(h), "long", PandasUDFType.GROUPED_AGG)
+    return (
+        df.select(group_col, portable_hash60(text_col).alias("__h"))
+        .groupBy(group_col)
+        .agg(nrows("__h").alias("n_rows"), digest("__h").alias("digest"))
+    )
+
+
+def group_digest_expr(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Expression twin of ``group_digest``: decimal(38,0) sum mod 2^61-1
+    — pure JVM, whole-stage codegen'd, the production fast path."""
+    h = portable_hash60(text_col).cast("decimal(38,0)")
+    return (
+        df.select(group_col, h.alias("__h"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("__h") % F.lit(DIGEST_MOD)).cast("long").alias("digest"),
+        )
+    )

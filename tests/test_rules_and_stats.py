@@ -192,3 +192,20 @@ def test_alerts_ladder(spark):
         (2, "rows_in"): "critical",
         (2, "deletes"): "critical",
     }
+
+
+def test_group_digest_udaf_equals_expression_twin(spark):
+    """§2.10 UDAF surface: the GROUPED_AGG pandas digest must equal the
+    decimal-expression twin value-for-value (same portable hash family,
+    same mod-2^61-1 sum)."""
+    from sql_graph_visualizer_spark.operators.stats import group_digest, group_digest_expr
+
+    df = spark.createDataFrame(
+        [(f"c{i % 5}", f"text body {i} {'x' * (i % 17)}") for i in range(300)],
+        "conv_id string, text string",
+    )
+    rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    a = rows(group_digest(df, "conv_id", "text"))
+    b = rows(group_digest_expr(df, "conv_id", "text"))
+    assert a == b
+    assert len(a) == 5 and all(r[2] > 0 for r in a)
