@@ -210,6 +210,58 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 late-data semantics end to end: the events-derived CDC log
+    streamed through a WATERMARKED tumbling-window count (append mode —
+    a window is emitted exactly once, after the watermark passes it;
+    state is then evicted). Two far-future heartbeat files + a resumed
+    run finalize every original window deterministically (the checkpoint
+    carries the watermark across runs even though intra-run file order
+    is not deterministic). The oracle recomputes the per-day counts with
+    a batch date_trunc aggregation."""
+    from sql_graph_visualizer_spark.streaming.windowed import windowed_event_counts
+
+    key = (sf_dir, "windowed_out")
+    if key not in _TABLES or not os.path.isdir(_TABLES[key]):
+        base = tempfile.mkdtemp(prefix="sgv_windowed_")
+        log_dir = os.path.join(base, "log")
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        log = derive_cdc_log(spark, sf_dir)
+        write_cdc_log_dir(log, log_dir, num_files=6)
+        # the whole log in ONE batch: the file source's batch order is
+        # nondeterministic, and a later-ts file processed first would
+        # advance the watermark past earlier files' windows and drop
+        # their events as late — the delay must cover the source's
+        # out-of-orderness, and one batch makes it zero here
+        windowed_event_counts(
+            spark, log_dir, out, ckpt, window="1 day", watermark="2 days",
+        )
+        # two heartbeat FILES -> two micro-batches: the first raises the
+        # max event time, the second's batch then runs with the advanced
+        # watermark and emits every remaining original window
+        for i in range(2):
+            hb = spark.createDataFrame(
+                [(10_000_000_000 + i, "update", "conv-hb", 0, "user", "hb", None, None, 1)],
+                "seq long, op string, conv_id string, turn_idx int, role string, "
+                "text string, tool string, ts timestamp, schema_ver int",
+            ).withColumn(
+                "ts",
+                F.to_timestamp(F.lit("2024-06-01 00:00:00")) + F.make_interval(days=F.lit(i)),
+            )
+            hb.coalesce(1).write.mode("append").parquet(log_dir)
+            windowed_event_counts(
+                spark, log_dir, out, ckpt,
+                window="1 day", watermark="2 days", max_files_per_trigger=1,
+            )
+        _TABLES[key] = out
+    return (
+        spark.read.parquet(_TABLES[key])
+        .filter(F.col("window_start") < "2024-05-01")
+        .select("window_start", "window_end", F.col("n_events").cast("long").alias("n_events"))
+    )
+
+
 def q_cdc_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-over-epoch regression detection on the lineage table — the
     reference's detectRegressions loop (performance_analyzer.go:374-437):
@@ -1089,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_plan": q_mm_resize_plan,
         # analyzer / monitoring analytics
         "stream_qps_per_hour": q_stream_qps_per_hour,
+        "stream_windowed_watermark": q_stream_windowed_watermark,
         "hotspot_scores": q_hotspot_scores,
         # relational operator families (SURVEY §2.2-2.8)
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1254,6 +1307,14 @@ SELECT conv_id, count(*) AS n_rows,
   CAST(CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS HUGEINT)
        % 2305843009213693951 AS BIGINT) AS digest
 FROM winners WHERE op <> 'delete' GROUP BY conv_id
+""",
+        "stream_windowed_watermark": "WITH "
+        + CDC_LOG_CTE
+        + """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       count(*) AS n_events
+FROM cdc GROUP BY 1, 2
 """,
         "graph_search_props": """
 SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS node_id,
