@@ -997,6 +997,114 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _rate_versions(spark: SparkSession) -> DataFrame:
+    """Deterministic version table (the 'config active at time T' shape):
+    10 keys × 10 versions every 3 days from 2023-12-31 — both engines
+    rebuild it arithmetically."""
+    base = F.to_timestamp(F.lit("2023-12-31 00:00:00"))
+    k = (F.col("id") / 10).cast("long")
+    v = F.col("id") % 10
+    return spark.range(100).select(
+        k.alias("k"),
+        F.timestamp_add("DAY", (v * 3).cast("int"), base).alias("ts"),
+        (k * 100 + v).cast("long").alias("rate"),
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark has no built-in): every event picks the rate
+    version in force at its timestamp (greatest version ts <= event ts,
+    per key) via the union + one-shuffle running-last composition
+    (operators/temporal.asof_join — no nested loop, no per-key driver
+    work). Oracle: DuckDB's native ASOF JOIN."""
+    from sql_graph_visualizer_spark.operators.temporal import asof_join
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(10)).alias("k"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    got = asof_join(e, _rate_versions(spark), on="k", ts_col="ts")
+    return got.select("event_id", "k", "ts", "ts_right", "rate")
+
+
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join without a nested loop: events matched to the
+    half-open campaign window [start, end) active for their key, as a
+    bin-bucketed equi-join + residual filter
+    (operators/temporal.range_join_binned). Oracle: plain SQL range
+    predicates (DuckDB plans its own IEJoin)."""
+    from sql_graph_visualizer_spark.operators.temporal import range_join_binned
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(10)).alias("k"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    campaigns = spark.range(60).select(
+        (F.col("id") / 6).cast("long").alias("k"),
+        (F.col("id") % 6).cast("long").alias("campaign"),
+        F.timestamp_add("DAY", ((F.col("id") % 6) * 5).cast("int"), base).alias("start_ts"),
+        F.timestamp_add("DAY", ((F.col("id") % 6) * 5 + 3).cast("int"), base).alias("end_ts"),
+    )
+    got = range_join_binned(e, campaigns, on="k", ts_col="ts")
+    return got.select("event_id", "k", "ts", "campaign", "start_ts", "end_ts")
+
+
+def q_agg_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event sessions split at >2-day gaps via
+    ``F.session_window`` (merging event-time session state — the
+    streaming-capable form). Oracle: the classic gaps-and-islands SQL
+    (lag > gap → new island, cumulative sum, group)."""
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", "2 days").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from a coarse
+    cell self-join (each vector assigned once to its nearest centroid —
+    never all-pairs), exact cosine ≥ 0.99 filter on candidates only.
+    Over the deterministic clustered embeddings every qualifying pair is
+    intra-cluster (cross-cluster cosine ≈ 0.04), so the all-pairs SQL
+    oracle must match exactly."""
+    import numpy as np
+
+    from sql_graph_visualizer_spark.operators.similarity import cosine, ivf_cells
+
+    cent = np.eye(8)
+    e = _clustered_embeddings(spark, sf_dir)
+    corpus = ivf_cells(e, "embedding", cent, probes=1).select(
+        "vec_id", "embedding", F.element_at("cell", 1).alias("cell")
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=(F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cosine(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("cosine") >= 0.99)
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def q_sql_digest_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statement-digest analysis (performance_schema_adapter.go:691-742):
     classify query type by prefix and extract the first referenced table
@@ -1148,12 +1256,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": q_tpch_q3_top10,
         "join_theta_pairs": q_join_theta_pairs,
         "join_left_outer": q_join_left_outer,
+        "join_asof": q_join_asof,
+        "join_range_binned": q_join_range_binned,
         "agg_column_stats": q_agg_column_stats,
         "agg_column_histogram": q_agg_column_histogram,
         "sample_severity": q_sample_severity,
         "agg_orders_having": q_agg_orders_having,
         "window_top3_orders": q_window_top3_orders,
         "window_lag_events": q_window_lag_events,
+        "agg_session_windows": q_agg_session_windows,
         "scalar_string_funcs": q_scalar_string_funcs,
         "json_extract_props": q_json_extract_props,
         "sql_digest_analysis": q_sql_digest_analysis,
@@ -1164,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann": q_sim_lsh_ann,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1558,6 +1670,66 @@ SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
   count(*) AS n_orders,
   min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
 FROM orders GROUP BY 1
+""",
+        "join_asof": """
+WITH rates AS (
+  SELECT CAST(i // 10 AS BIGINT) AS k,
+         TIMESTAMP '2023-12-31 00:00:00' + INTERVAL 3 DAY * (i % 10) AS ts,
+         CAST((i // 10) * 100 + i % 10 AS BIGINT) AS rate
+  FROM range(100) t(i)
+), ev AS (
+  SELECT event_id, CAST(user_id % 10 AS BIGINT) AS k, ts FROM events
+)
+SELECT e.event_id, e.k, e.ts, r.ts AS ts_right, r.rate
+FROM ev e ASOF JOIN rates r ON e.k = r.k AND e.ts >= r.ts
+""",
+        "join_range_binned": """
+WITH campaigns AS (
+  SELECT CAST(i // 6 AS BIGINT) AS k, CAST(i % 6 AS BIGINT) AS campaign,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 5 DAY * (i % 6) AS start_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 DAY * ((i % 6) * 5 + 3) AS end_ts
+  FROM range(60) t(i)
+), ev AS (
+  SELECT event_id, CAST(user_id % 10 AS BIGINT) AS k, ts FROM events
+)
+SELECT e.event_id, e.k, e.ts, c.campaign, c.start_ts, c.end_ts
+FROM ev e JOIN campaigns c
+  ON e.k = c.k AND e.ts >= c.start_ts AND e.ts < c.end_ts
+""",
+        "agg_session_windows": """
+WITH ordered AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 2 DAY OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 2 DAY AS session_end,
+       count(*) AS n_events
+FROM islands GROUP BY user_id, sid
+""",
+        "dedup_embedding_cosine": """
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(range(0, 8), j ->
+      CASE WHEN j = vec_id % 8 THEN 3.0 ELSE 0.0 END
+      + CAST((vec_id * 31 + j * 17) % 97 AS DOUBLE) / 97.0 * 0.1) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.99
 """,
         "sql_digest_analysis": """
 WITH digests AS (
