@@ -347,6 +347,39 @@ def q_graph_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SnapshotTable(spark, _TABLES[key]).read()
 
 
+def q_rollup_turns_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (hypertable-rollup analogue): turns-per-hour
+    maintained INCREMENTALLY epoch by epoch via retraction deltas
+    (streaming/rollup.RollupSync — old rows read by snapshot time travel,
+    both slices bucket-pruned, delta MERGEd through the same fenced LWW
+    path). The oracle recomputes the rollup from scratch over the final
+    winners — equality proves the incremental maintenance exact."""
+    from sql_graph_visualizer_spark.streaming.rollup import RollupSync
+
+    key = (sf_dir, "rollup_hour")
+    if key not in _TABLES or not SnapshotTable.exists(_TABLES[key]):
+        base = tempfile.mkdtemp(prefix="sgv_rollup_")
+        log = derive_cdc_log(spark, sf_dir)
+        table = SnapshotTable.create(
+            spark, os.path.join(base, "t"), TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"], num_buckets=16,
+        )
+        rs = RollupSync(spark, os.path.join(base, "rollup"), table, bucket="hour")
+        bounds = log.agg(F.min("seq"), F.max("seq")).collect()[0]
+        lo, hi = int(bounds[0]), int(bounds[1])
+        span = max(1, (hi - lo + 4) // 4)
+        for e in range(4):
+            chunk = log.filter(
+                (F.col("seq") >= lo + e * span) & (F.col("seq") < lo + (e + 1) * span)
+            )
+            st = table.merge_upsert(chunk, epoch_id=e, query_id="rollup")
+            rs.sync(chunk, e, st)
+        _TABLES[key] = os.path.join(base, "rollup")
+    return SnapshotTable(spark, _TABLES[key]).read().select(
+        "bucket_start", F.col("n_turns").cast("long").alias("n_turns")
+    )
+
+
 def q_graph_nodes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-API parity: NodesByType label scan (neo4j/repository.go:239-265,
     resolver schema.resolvers.go:77-109) — turn nodes of role='tool'."""
@@ -1238,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rules_config": q_graph_rules_config,
         "graph_rules_discovered": q_graph_rules_discovered,
         "graph_edges_incremental": q_graph_edges_incremental,
+        "rollup_turns_per_hour": q_rollup_turns_per_hour,
         "graph_nodes_by_type": q_graph_nodes_by_type,
         "graph_search_nodes": q_graph_search_nodes,
         "graph_search_props": q_graph_search_props,
@@ -1427,6 +1461,13 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
        count(*) AS n_events
 FROM cdc GROUP BY 1, 2
+""",
+        "rollup_turns_per_hour": _WINNERS
+        + """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+       count(*) AS n_turns
+FROM winners WHERE op <> 'delete' AND ts IS NOT NULL
+GROUP BY 1
 """,
         "graph_search_props": """
 SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS node_id,
