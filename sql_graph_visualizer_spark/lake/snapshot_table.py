@@ -29,6 +29,26 @@ above it is backend-agnostic:
   proportional to touched buckets, not table size. At 100 TB you raise
   ``num_buckets`` (e.g. 4096) so each bucket is a few GB; unaffected
   buckets are carried forward by reference in the manifest.
+- **Merge-on-read MERGE** (``merge_upsert(mode="mor")``): copy-on-write
+  degenerates when an epoch's keys spread across *all* buckets — the
+  rewrite cost becomes ∝ table size per epoch. MoR instead writes the
+  epoch's compacted winners (including delete tombstones) as small
+  per-bucket **delta segments** and leaves the base files untouched:
+  bytes written per epoch ∝ |batch|, never ∝ touched-bucket bytes
+  (Iceberg v2 merge-on-read / Delta deletion-vector analogue, restated
+  as LWW row deltas because this table's MERGE is pure LWW-by-LSN).
+  Reads apply last-writer-wins over base ∪ deltas per key — the same
+  ``compact_lww`` the write path uses — and skip that work entirely for
+  buckets with no deltas. ``compact_deltas()`` is the background
+  maintenance job that folds deltas back into the base (conflict-safe
+  against concurrent ingest via the same bucket-token validation).
+- **Bucket-count evolution** (``rebucket``): ``num_buckets`` is chosen at
+  CREATE for the table's *current* size; a table grown 100× needs a new
+  spec. ``rebucket(new_num_buckets)`` rewrites the data under the new
+  spec in one conflict-checked commit; concurrent merges that prepared
+  under the old spec fail validation (or detect the spec change and
+  recompute their bucket sets) and retry on the new base — ingest never
+  observes a half-migrated layout.
 - **Exactly-once epoch fencing**: the manifest carries
   ``epochs: {query_id: last_committed_epoch}`` updated *in the same atomic
   commit* as the data. A replayed ``foreachBatch`` epoch (after a crash
@@ -109,6 +129,10 @@ class MergeStats:
     # vs merge-write job — the observability hook for scaling analysis
     stats_ms: int = 0
     write_ms: int = 0
+    # data bytes this commit added (sum of its new data-file sizes) — the
+    # observable that distinguishes CoW (∝ touched-bucket bytes) from MoR
+    # (∝ |batch|); also recorded in the manifest summary
+    bytes_written: int = 0
 
     def as_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -143,6 +167,11 @@ class PreparedMerge:
     # with the previous epoch's write. Per-epoch serial cost is what
     # strong-scaling efficiency pays for at every cluster size.
     winner_seqs: Any = None
+    # bucket spec the affected-bucket set was computed under; if a
+    # rebucket commits between prepare and upsert, merge_upsert detects
+    # the mismatch and recomputes `affected` under the new spec instead
+    # of pruning the wrong buckets
+    num_buckets: int = 0
 
 
 class SnapshotTable:
@@ -152,8 +181,14 @@ class SnapshotTable:
         # metadata-plane IO (manifests/hints/listings) — pluggable, see
         # lake/file_io.py for the object-store mapping of each primitive
         self.io = io or LocalFileIO()
-        # segment files are immutable once written → cache by rel path
-        self._seg_cache: dict[str, list[dict[str, Any]]] = {}
+        # segment files are immutable once written → cache by rel path;
+        # bounded LRU (a sustained-mode writer otherwise accretes every
+        # segment it ever wrote, including commit-retry orphans) and
+        # expire_snapshots evicts the paths it deletes
+        from collections import OrderedDict
+
+        self._seg_cache: "OrderedDict[str, list[dict[str, Any]]]" = OrderedDict()
+        self._seg_cache_max = 4096
 
     # ------------------------------------------------------------------ DDL
 
@@ -181,6 +216,9 @@ class SnapshotTable:
             "num_buckets": num_buckets,
             # bucket(str) -> {"path": segments/seg-*.json, "n": int, "bytes": int}
             "segments": {},
+            # bucket(str) -> [ref, ...]: merge-on-read delta segments, LWW-applied
+            # over the base at read time until compact_deltas() folds them
+            "deltas": {},
             "epochs": {},
             "summary": {"operation": "create"},
             "parent": None,
@@ -286,9 +324,12 @@ class SnapshotTable:
         m = self.manifest(version)
         if "segments" in m:
             refs = m["segments"]
+            deltas = [ref for refs_ in self._delta_refs(m).values() for ref in refs_]
             return {
-                "total_files": sum(int(s.get("n", 0)) for s in refs.values()),
-                "total_bytes": _refs_total_bytes(refs),
+                "total_files": sum(int(s.get("n", 0)) for s in refs.values())
+                + sum(int(r.get("n", 0)) for r in deltas),
+                "total_bytes": _refs_total_bytes(refs)
+                + sum(int(r.get("bytes", 0)) for r in deltas),
                 "buckets": len(refs),
             }
         entries = [e for fs in m["files"].values() for e in fs]  # legacy inline
@@ -302,10 +343,16 @@ class SnapshotTable:
 
     def _load_segment(self, rel: str) -> list[dict[str, Any]]:
         """One bucket's data-file entries; segment files are immutable →
-        cached by path (manifest-churn never invalidates them)."""
-        if rel not in self._seg_cache:
-            self._seg_cache[rel] = json.loads(self.io.read_text(os.path.join(self.path, rel)))
-        return self._seg_cache[rel]
+        cached by path (manifest-churn never invalidates them; bounded
+        LRU so a long-lived writer's memory stays flat)."""
+        if rel in self._seg_cache:
+            self._seg_cache.move_to_end(rel)
+            return self._seg_cache[rel]
+        entries = json.loads(self.io.read_text(os.path.join(self.path, rel)))
+        self._seg_cache[rel] = entries
+        while len(self._seg_cache) > self._seg_cache_max:
+            self._seg_cache.popitem(last=False)
+        return entries
 
     def _write_segment(self, entries: list[dict[str, Any]]) -> dict[str, Any]:
         """Write an immutable segment file; returns its manifest pointer
@@ -313,6 +360,8 @@ class SnapshotTable:
         rel = os.path.join(_SEG_DIR, f"seg-{uuid.uuid4().hex[:16]}.json")
         self.io.create_exclusive(os.path.join(self.path, rel), json.dumps(entries))
         self._seg_cache[rel] = entries
+        while len(self._seg_cache) > self._seg_cache_max:
+            self._seg_cache.popitem(last=False)
         return {
             "path": rel,
             "n": len(entries),
@@ -345,15 +394,49 @@ class SnapshotTable:
         return {b: self._write_segment(list(fs)) for b, fs in cur["files"].items()}
 
     @staticmethod
+    def _delta_refs(m: dict[str, Any]) -> dict[str, list[dict[str, Any]]]:
+        """bucket(str) → ordered list of merge-on-read delta segment refs
+        (empty for pre-MoR manifests)."""
+        return m.get("deltas") or {}
+
+    def _delta_entries(
+        self, m: dict[str, Any], buckets: list[int] | None = None
+    ) -> list[dict[str, Any]]:
+        """Data-file entries of the selected buckets' delta segments —
+        same bucket pruning discipline as the base ``_entries``."""
+        out: list[dict[str, Any]] = []
+        for b, refs in self._delta_refs(m).items():
+            if buckets is None or int(b) in buckets:
+                for ref in refs:
+                    out.extend(self._load_segment(ref["path"]))
+        return out
+
+    @staticmethod
     def _bucket_token(m: dict[str, Any], b: int) -> str | None:
         """Identity of a bucket's current contents for conflict
-        validation: the segment path (unique per write) or, for legacy
-        manifests, the inline entry list."""
+        validation: the base segment path (unique per write) plus the
+        ordered delta segment paths — any commit that adds, folds or
+        rewrites the bucket's rows changes the token. Legacy manifests
+        fall back to the inline entry list."""
+        deltas = ",".join(
+            ref["path"] for ref in (m.get("deltas") or {}).get(str(b), [])
+        )
         if "segments" in m:
             ref = m["segments"].get(str(b))
-            return None if ref is None else ref["path"]
-        fs = m["files"].get(str(b))
-        return None if fs is None else json.dumps(fs, sort_keys=True)
+            base = None if ref is None else ref["path"]
+        else:
+            fs = m["files"].get(str(b))
+            base = None if fs is None else json.dumps(fs, sort_keys=True)
+        if base is None and not deltas:
+            return None
+        return f"{base}|{deltas}"
+
+    def _all_tokens(self, m: dict[str, Any]) -> dict[str, str | None]:
+        """Token per bucket over base segments AND deltas — the staleness
+        check of full-table rewrites (tombstone expiry, rebucket)."""
+        bs = set(m.get("segments") if "segments" in m else m["files"])
+        bs.update(self._delta_refs(m))
+        return {b: self._bucket_token(m, int(b)) for b in bs}
 
     # --------------------------------------------------------------- reads
 
@@ -401,10 +484,42 @@ class SnapshotTable:
         in-flight commit read against its own (evolved) schema;
         ``system=True`` exposes tombstones and the ``_seq``/``_deleted``
         system columns (the MERGE path needs them); ``version`` time-travels
-        to a retained historical snapshot."""
+        to a retained historical snapshot.
+
+        Merge-on-read: buckets carrying delta segments are resolved by a
+        last-writer-wins compaction over base ∪ deltas per key (max
+        ``_seq`` wins; same semantics the CoW write path applies
+        eagerly). The LWW pass is the hash-agg + keyed-join form — the
+        payload shuffles once on the key columns and is never sorted —
+        and is skipped entirely when the selected buckets have no
+        deltas, so a fully-compacted table reads at plain scan speed."""
         m = manifest if manifest is not None else self.manifest(version)
-        entries = self._entries(m, buckets)
-        df = self._read_files(m, entries)
+        sel = None if buckets is None else {int(b) for b in buckets}
+        delta_b = {
+            int(b)
+            for b, refs in self._delta_refs(m).items()
+            if refs and (sel is None or int(b) in sel)
+        }
+        if not delta_b:
+            df = self._read_files(m, self._entries(m, buckets))
+        else:
+            # only the delta-carrying buckets pay the LWW shuffle; the
+            # rest of the selection unions in at plain scan speed
+            seg_keys = m.get("segments") if "segments" in m else m["files"]
+            plain = [
+                int(b)
+                for b in seg_keys
+                if (sel is None or int(b) in sel) and int(b) not in delta_b
+            ]
+            staged = self._read_files(
+                m,
+                self._entries(m, sorted(delta_b))
+                + self._delta_entries(m, sorted(delta_b)),
+            )
+            folded = compact_lww(
+                staged, tuple(m["key_cols"]), _SEQ, broadcast_winner_seqs=False
+            )
+            df = self._read_files(m, self._entries(m, plain)).unionByName(folded)
         if system:
             return df
         return df.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_SEQ, _DELETED)
@@ -462,6 +577,7 @@ class SnapshotTable:
         op_col: str = "op",
         order_col: str = "seq",
         collect_seqs: bool = False,
+        collect_max_keys: int = 4_000_000,
     ) -> PreparedMerge:
         """The winner-aggregation half of MERGE: one column-pruned scan of
         the batch (keys, order, op — fixed-width HashAggregate, map-side
@@ -496,11 +612,13 @@ class SnapshotTable:
             F.collect_set(self._bucket_expr(m)).alias("bs"),
         ).collect()[0]
         winner_seqs = None
-        if collect_seqs and int(agg["n"]) > 0:
+        if collect_seqs and 0 < int(agg["n"]) <= collect_max_keys:
             # pre-collect the winning LSNs (Arrow toPandas off the
             # persisted winners — one extra overlappable job) so the
             # write phase needs no broadcast-relation build on its
-            # serial path; see PreparedMerge.winner_seqs
+            # serial path; see PreparedMerge.winner_seqs. Size-guarded
+            # like the broadcast path: a giant epoch falls back to the
+            # join strategies instead of collecting to the driver.
             import numpy as np
 
             seqs = winners.select(F.col(order_col).cast("long")).toPandas()
@@ -513,6 +631,7 @@ class SnapshotTable:
             affected=sorted(int(b) for b in agg["bs"]),
             stats_ms=int((time.monotonic() - t0) * 1000),
             winner_seqs=winner_seqs,
+            num_buckets=int(m["num_buckets"]),
         )
 
     def merge_upsert(
@@ -526,6 +645,7 @@ class SnapshotTable:
         meta_cols: tuple[str, ...] = ("schema_ver",),
         broadcast_max_keys: int = 4_000_000,
         prepared: PreparedMerge | None = None,
+        mode: str = "cow",
     ) -> MergeStats:
         """MERGE INTO table USING compact(batch) ON key:
 
@@ -534,8 +654,19 @@ class SnapshotTable:
           property overwrite, ``graph_aggregate.go:46-51``)
         - WHEN NOT MATCHED AND op!='delete' THEN INSERT
 
-        Copy-on-write over touched buckets only; exactly-once via epoch
-        fencing; schema evolution applied before the data commit.
+        ``mode='cow'`` (default): copy-on-write — read + rewrite the
+        touched buckets eagerly; reads stay plain scans. ``mode='mor'``:
+        merge-on-read — write the epoch's compacted winners (deletes as
+        tombstone rows) as per-bucket delta segments WITHOUT reading or
+        rewriting the base; bytes written per epoch ∝ |batch| even when
+        the batch's keys spread across every bucket (the regime where
+        CoW degenerates to rewriting the whole table each epoch).
+        Readers apply LWW over base ∪ deltas; ``compact_deltas()`` folds
+        them back down in the background. Both modes commit through the
+        same epoch fence and produce identical logical state.
+
+        Exactly-once via epoch fencing; schema evolution applied before
+        the data commit.
 
         Assumptions (same contract as ``compact_lww``): ``order_col`` is a
         batch-wide-unique LSN. Re-delivery of the winning event is fine
@@ -585,6 +716,16 @@ class SnapshotTable:
         winners = prepared.winners
         rows_in, deletes = prepared.rows_in, prepared.deletes
         affected = prepared.affected
+        if prepared.num_buckets and prepared.num_buckets != int(m["num_buckets"]):
+            # a rebucket migration committed between prepare and now: the
+            # prepared bucket set is numbered under the OLD spec — pruning
+            # with it would read the wrong buckets. Recompute from the
+            # persisted winners (∝ |keys|, one tiny agg job).
+            if rows_in > 0:
+                row = winners.select(
+                    F.collect_set(self._bucket_expr(m)).alias("bs")
+                ).collect()[0]
+                affected = sorted(int(b) for b in row["bs"])
         base_tokens = {b: self._bucket_token(m, b) for b in affected}
         t_stats = time.monotonic()
         try:
@@ -596,7 +737,13 @@ class SnapshotTable:
                     c["epochs"] = dict(cur["epochs"])
                     if epoch_id >= 0:
                         c["epochs"][query_id] = epoch_id
-                    c["summary"] = {"operation": "merge", "epoch": epoch_id, "rows": 0}
+                    c["summary"] = {
+                        "operation": "merge",
+                        "mode": mode,
+                        "epoch": epoch_id,
+                        "query_id": query_id,
+                        "rows": 0,
+                    }
                     return c
 
                 committed = self._commit_with_rebase(build_empty, epoch_id, query_id, m)
@@ -655,77 +802,152 @@ class SnapshotTable:
                 for k in key_cols:
                     cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"w.{k}"))
                 survivors = a.join(w, on=cond, how="left_semi")
-            existing = self.read(buckets=affected, manifest=m, system=True)
-            existing_events = existing.select(
-                *payload,
-                F.col(_SEQ).alias(order_col),
-                F.when(F.col(_DELETED), F.lit("delete")).otherwise(F.lit("update")).alias(op_col),
-            )
-            batch_events = survivors.select(*payload, F.col(order_col), F.col(op_col))
-            # staged rows ∝ |keys| → the sort-based single-shuffle compact
-            # is cheapest here (one job, no broadcast round-trip), and the
-            # whole union→compact→bucket-write pipeline runs as one job
-            staged = existing_events.unionByName(batch_events)
-            final = compact_lww(staged, tuple(key_cols), order_col, broadcast_winner_seqs="sort")
-            result = final.select(
-                *payload,
-                F.col(order_col).cast("long").alias(_SEQ),
-                (F.col(op_col) == "delete").alias(_DELETED),
-            )
-
-            new_files = self._write_data(result, m)
             affected_set = set(affected)
-            # segment files for the touched buckets are written ONCE, up
-            # front; a rebase-retry re-points the same immutable segments
-            # (validate() guarantees the base buckets didn't change).
-            # Metadata bytes written per commit ∝ touched buckets.
-            new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+            batch_events = survivors.select(*payload, F.col(order_col), F.col(op_col))
 
-            def build(cur: dict[str, Any]) -> dict[str, Any]:
-                refs = {
-                    b: r
-                    for b, r in self._seg_refs_for_write(cur).items()
-                    if int(b) not in affected_set
-                }
-                refs.update(new_segs)
-                c = dict(cur)
-                c.pop("files", None)
-                # carry our (possibly evolved) schema history; validate()
-                # guarantees no concurrent evolution raced us
-                c["schemas"] = m["schemas"]
-                c["schema_id"] = m["schema_id"]
-                c["segments"] = refs
-                c["version"] = cur["version"] + 1
-                c["parent"] = cur["version"]
-                c["epochs"] = dict(cur["epochs"])
-                if epoch_id >= 0:
-                    c["epochs"][query_id] = epoch_id
-                c["summary"] = {
-                    "operation": "merge",
-                    "epoch": epoch_id,
-                    "rows": rows_in,
-                    "deletes": deletes,
-                    "buckets": len(affected),
-                    "total_files_bytes": _refs_total_bytes(refs),
-                }
-                return c
+            if mode == "mor":
+                # Merge-on-read: never read the base. The survivors are the
+                # batch's per-key winners (plus possible duplicate
+                # deliveries of the winning event — collapsed by the thin
+                # sort compact over ∝|keys| rows); they are written as
+                # delta segments, deletes persisting as tombstone rows.
+                # Bytes written ∝ |batch|, not touched-bucket bytes.
+                final = compact_lww(
+                    batch_events, tuple(key_cols), order_col, broadcast_winner_seqs="sort"
+                )
+                result = final.select(
+                    *payload,
+                    F.col(order_col).cast("long").alias(_SEQ),
+                    (F.col(op_col) == "delete").alias(_DELETED),
+                )
+                new_files = self._write_data(result, m)
+                new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+                bytes_written = sum(int(r["bytes"]) for r in new_segs.values())
 
-            def validate(cur: dict[str, Any]) -> None:
-                # copy-on-write staleness check: our `existing` read and
-                # schema resolution used the base snapshot — a concurrent
-                # commit to the same buckets (or a schema change) means
-                # this merge must be recomputed, not rebased
-                if cur["schema_id"] != base_schema_id:
-                    raise CommitConflictError(
-                        f"concurrent schema evolution on {self.path}"
-                    )
-                for b in affected:
-                    if self._bucket_token(cur, b) != base_tokens[b]:
+                def build_mor(cur: dict[str, Any]) -> dict[str, Any]:
+                    # delta commits commute: nothing was read, so a rebase
+                    # just re-appends the same immutable delta refs onto
+                    # whatever delta lists the new base carries
+                    dl = {b: list(v) for b, v in self._delta_refs(cur).items()}
+                    for b, ref in new_segs.items():
+                        dl.setdefault(b, []).append(ref)
+                    c = dict(cur)
+                    c.pop("files", None)
+                    c["schemas"] = m["schemas"]
+                    c["schema_id"] = m["schema_id"]
+                    c["segments"] = self._seg_refs_for_write(cur)
+                    c["deltas"] = dl
+                    c["version"] = cur["version"] + 1
+                    c["parent"] = cur["version"]
+                    c["epochs"] = dict(cur["epochs"])
+                    if epoch_id >= 0:
+                        c["epochs"][query_id] = epoch_id
+                    c["summary"] = {
+                        "operation": "merge",
+                        "mode": "mor",
+                        "epoch": epoch_id,
+                        "query_id": query_id,
+                        "rows": rows_in,
+                        "deletes": deletes,
+                        "buckets": len(affected),
+                        "bytes_written": bytes_written,
+                        "total_files_bytes": _refs_total_bytes(c["segments"]),
+                    }
+                    return c
+
+                def validate_mor(cur: dict[str, Any]) -> None:
+                    # no base rows were read, so concurrent data commits
+                    # never invalidate a delta — only a racing schema
+                    # evolution does (schema ids are allocated locally, so
+                    # carrying our history over theirs would collide)
+                    if cur["schema_id"] != base_schema_id:
                         raise CommitConflictError(
-                            f"bucket {b} rewritten concurrently on {self.path}"
+                            f"concurrent schema evolution on {self.path}"
                         )
 
-            committed = self._commit_with_rebase(build, epoch_id, query_id, m, validate)
+                committed = self._commit_with_rebase(
+                    build_mor, epoch_id, query_id, m, validate_mor
+                )
+            else:
+                existing = self.read(buckets=affected, manifest=m, system=True)
+                existing_events = existing.select(
+                    *payload,
+                    F.col(_SEQ).alias(order_col),
+                    F.when(F.col(_DELETED), F.lit("delete")).otherwise(F.lit("update")).alias(op_col),
+                )
+                # staged rows ∝ |keys| → the sort-based single-shuffle compact
+                # is cheapest here (one job, no broadcast round-trip), and the
+                # whole union→compact→bucket-write pipeline runs as one job
+                staged = existing_events.unionByName(batch_events)
+                final = compact_lww(staged, tuple(key_cols), order_col, broadcast_winner_seqs="sort")
+                result = final.select(
+                    *payload,
+                    F.col(order_col).cast("long").alias(_SEQ),
+                    (F.col(op_col) == "delete").alias(_DELETED),
+                )
+
+                new_files = self._write_data(result, m)
+                # segment files for the touched buckets are written ONCE, up
+                # front; a rebase-retry re-points the same immutable segments
+                # (validate() guarantees the base buckets didn't change).
+                # Metadata bytes written per commit ∝ touched buckets.
+                new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+                bytes_written = sum(int(r["bytes"]) for r in new_segs.values())
+
+                def build(cur: dict[str, Any]) -> dict[str, Any]:
+                    refs = {
+                        b: r
+                        for b, r in self._seg_refs_for_write(cur).items()
+                        if int(b) not in affected_set
+                    }
+                    refs.update(new_segs)
+                    c = dict(cur)
+                    c.pop("files", None)
+                    # carry our (possibly evolved) schema history; validate()
+                    # guarantees no concurrent evolution raced us
+                    c["schemas"] = m["schemas"]
+                    c["schema_id"] = m["schema_id"]
+                    c["segments"] = refs
+                    # the rewrite folded the touched buckets' deltas in
+                    c["deltas"] = {
+                        b: v
+                        for b, v in self._delta_refs(cur).items()
+                        if int(b) not in affected_set
+                    }
+                    c["version"] = cur["version"] + 1
+                    c["parent"] = cur["version"]
+                    c["epochs"] = dict(cur["epochs"])
+                    if epoch_id >= 0:
+                        c["epochs"][query_id] = epoch_id
+                    c["summary"] = {
+                        "operation": "merge",
+                        "mode": "cow",
+                        "epoch": epoch_id,
+                        "query_id": query_id,
+                        "rows": rows_in,
+                        "deletes": deletes,
+                        "buckets": len(affected),
+                        "bytes_written": bytes_written,
+                        "total_files_bytes": _refs_total_bytes(refs),
+                    }
+                    return c
+
+                def validate(cur: dict[str, Any]) -> None:
+                    # copy-on-write staleness check: our `existing` read and
+                    # schema resolution used the base snapshot — a concurrent
+                    # commit to the same buckets (or a schema change) means
+                    # this merge must be recomputed, not rebased
+                    if cur["schema_id"] != base_schema_id:
+                        raise CommitConflictError(
+                            f"concurrent schema evolution on {self.path}"
+                        )
+                    for b in affected:
+                        if self._bucket_token(cur, b) != base_tokens[b]:
+                            raise CommitConflictError(
+                                f"bucket {b} rewritten concurrently on {self.path}"
+                            )
+
+                committed = self._commit_with_rebase(build, epoch_id, query_id, m, validate)
             if committed is None:  # another writer committed this epoch mid-race
                 return MergeStats(
                     epoch_id, 0, 0, 0, 0, True,
@@ -742,6 +964,7 @@ class SnapshotTable:
                 committed["version"],
                 stats_ms=prepared.stats_ms,
                 write_ms=int((time.monotonic() - t_stats) * 1000),
+                bytes_written=bytes_written,
             )
         finally:
             winners.unpersist()
@@ -794,17 +1017,13 @@ class SnapshotTable:
         )
         new_files = self._write_data(df, m)
         new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
-
-        def tokens(mm: dict[str, Any]) -> dict[str, str | None]:
-            bs = mm.get("segments") if "segments" in mm else mm["files"]
-            return {b: self._bucket_token(mm, int(b)) for b in bs}
-
-        base_tokens = tokens(m)
+        base_tokens = self._all_tokens(m)
 
         def build(cur: dict[str, Any]) -> dict[str, Any]:
             c = dict(cur)
             c.pop("files", None)
             c["segments"] = dict(new_segs)
+            c["deltas"] = {}  # the rewrite read base ∪ deltas → all folded
             c["version"] = cur["version"] + 1
             c["parent"] = cur["version"]
             c["summary"] = {"operation": "expire-tombstones", "horizon": older_than_seq}
@@ -812,13 +1031,119 @@ class SnapshotTable:
 
         def validate(cur: dict[str, Any]) -> None:
             # full-table rewrite: ANY concurrent data commit makes it stale
-            if tokens(cur) != base_tokens:
+            if self._all_tokens(cur) != base_tokens:
                 raise CommitConflictError(
                     f"table changed under expire_tombstones on {self.path}"
                 )
 
         committed = self._commit_with_rebase(build, -1, "expire", m, validate)
         return committed["version"]
+
+    def compact_deltas(
+        self, buckets: list[int] | None = None, min_deltas: int = 1
+    ) -> dict[str, int]:
+        """Background compaction (merge-on-read maintenance): fold the
+        selected buckets' delta segments into their base files and clear
+        the delta lists. Work ∝ the folded buckets' bytes — schedule it
+        off the ingest path (size- or count-triggered, e.g.
+        ``min_deltas=8``), exactly like Iceberg's rewrite_data_files.
+        Conflict-safe: bucket tokens validate against concurrent ingest
+        (a racing merge or delta commit to a target bucket invalidates
+        this job, which yields — ingest always wins)."""
+        m = self.manifest()
+        sel = None if buckets is None else {int(b) for b in buckets}
+        target = sorted(
+            int(b)
+            for b, refs in self._delta_refs(m).items()
+            if len(refs) >= min_deltas and (sel is None or int(b) in sel)
+        )
+        if not target:
+            return {"buckets": 0, "version": int(m["version"])}
+        target_set = set(target)
+        # read() folds base ∪ deltas for these buckets; tombstones kept
+        folded = self.read(buckets=target, manifest=m, system=True)
+        new_files = self._write_data(folded, m)
+        new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+        base_tokens = {b: self._bucket_token(m, b) for b in target}
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            refs = {
+                b: r
+                for b, r in self._seg_refs_for_write(cur).items()
+                if int(b) not in target_set
+            }
+            refs.update(new_segs)
+            c = dict(cur)
+            c.pop("files", None)
+            c["segments"] = refs
+            c["deltas"] = {
+                b: v for b, v in self._delta_refs(cur).items() if int(b) not in target_set
+            }
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {
+                "operation": "compact-deltas",
+                "buckets": len(target),
+                "total_files_bytes": _refs_total_bytes(refs),
+            }
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            for b in target:
+                if self._bucket_token(cur, b) != base_tokens[b]:
+                    raise CommitConflictError(
+                        f"bucket {b} changed under compact_deltas on {self.path}"
+                    )
+
+        committed = self._commit_with_rebase(build, -1, "compact-deltas", m, validate)
+        return {"buckets": len(target), "version": int(committed["version"])}
+
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Bucket-count evolution: rewrite the table under a new bucket
+        spec in one conflict-checked commit (a table grown 100× needs
+        4096 buckets where it started with 64 — fixed specs are a CREATE
+        -time guess, not a lifetime contract). Deltas are folded in the
+        rewrite. Concurrent ingest is safe in both orders: a merge that
+        commits first fails THIS job's validation (ingest wins, rerun the
+        migration); a migration that commits first fails the merge's
+        bucket-token validation — and a merge still *preparing* detects
+        the spec change via ``PreparedMerge.num_buckets`` and recomputes
+        its bucket set — so the retried merge reads the new layout.
+        Readers of pruned scans always derive bucket ids from the same
+        manifest they read (GraphSync/RollupSync re-verify the spec per
+        epoch)."""
+        m = self.manifest()
+        df = self.read(manifest=m, system=True)  # folds deltas
+        m2 = dict(m)
+        m2["num_buckets"] = int(new_num_buckets)
+        new_files = self._write_data(df, m2)
+        new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+        base_tokens = self._all_tokens(m)
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            c.pop("files", None)
+            c["num_buckets"] = int(new_num_buckets)
+            c["segments"] = dict(new_segs)
+            c["deltas"] = {}
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {
+                "operation": "rebucket",
+                "num_buckets": int(new_num_buckets),
+                "total_files_bytes": _refs_total_bytes(new_segs),
+            }
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            # full-table rewrite: ANY concurrent data commit makes it stale
+            if self._all_tokens(cur) != base_tokens:
+                raise CommitConflictError(
+                    f"table changed under rebucket on {self.path}"
+                )
+
+        committed = self._commit_with_rebase(build, -1, "rebucket", m, validate)
+        return int(committed["version"])
 
     # -------------------------------------------------------- maintenance
 
@@ -858,7 +1183,10 @@ class SnapshotTable:
             mm = json.loads(self.io.read_text(os.path.join(snap_dir, f"v{v:08d}.json")))
             for ref in (mm.get("segments") or {}).values():
                 live_segs.add(os.path.basename(ref["path"]))
-            for e in self._entries(mm):
+            for refs in self._delta_refs(mm).values():
+                for ref in refs:
+                    live_segs.add(os.path.basename(ref["path"]))
+            for e in self._entries(mm) + self._delta_entries(mm):
                 live_commits.add(e["path"].split(os.sep)[1])
         removed = 0
         for v in versions:
@@ -885,4 +1213,5 @@ class SnapshotTable:
                 p = os.path.join(seg_dir, f)
                 if f.startswith("seg-") and f not in live_segs and not too_young(p):
                     self.io.remove(p)
+                    self._seg_cache.pop(os.path.join(_SEG_DIR, f), None)
         return removed

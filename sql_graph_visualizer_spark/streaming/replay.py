@@ -44,6 +44,7 @@ def merge_with_retry(
     query_id: str,
     conflict_retries: int = 2,
     prepared: PreparedMerge | None = None,
+    merge_mode: str = "cow",
 ) -> MergeStats:
     """MERGE an epoch, re-running it on ``CommitConflictError``.
 
@@ -58,7 +59,8 @@ def merge_with_retry(
     for attempt in range(conflict_retries + 1):
         try:
             return table.merge_upsert(
-                batch, epoch_id=epoch_id, query_id=query_id, prepared=prepared
+                batch, epoch_id=epoch_id, query_id=query_id, prepared=prepared,
+                mode=merge_mode,
             )
         except CommitConflictError:
             prepared = None  # recompute winners against the new base
@@ -86,6 +88,7 @@ def replay_stream(
     on_batch: Callable[[DataFrame, int, MergeStats], None] | None = None,
     conflict_retries: int = 2,
     fmt: str = "parquet",
+    merge_mode: str = "cow",
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -110,7 +113,8 @@ def replay_stream(
             else batch
         )
         st = merge_with_retry(
-            table, prepared, int(epoch_id), query_id, conflict_retries=conflict_retries
+            table, prepared, int(epoch_id), query_id,
+            conflict_retries=conflict_retries, merge_mode=merge_mode,
         )
         st.duration_ms = int((time.monotonic() - t0) * 1000)
         stats.append(st)
@@ -151,6 +155,7 @@ def replay_batch(
     pipeline: bool = True,
     conflict_retries: int = 2,
     prefetch_seqs: bool = False,
+    merge_mode: str = "cow",
 ) -> list[MergeStats]:
     """Bounded batch replay: split the log into ``epochs`` contiguous seq
     ranges and merge them in order — the deterministic, driver-friendly
@@ -215,6 +220,7 @@ def replay_batch(
             st = merge_with_retry(
                 table, chunk, e, query_id,
                 conflict_retries=conflict_retries, prepared=prepared,
+                merge_mode=merge_mode,
             )
             stats.append(st)
             if lineage is not None:

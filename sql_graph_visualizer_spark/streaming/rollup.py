@@ -45,10 +45,17 @@ class RollupSync:
         transcripts: SnapshotTable,
         bucket: str = "hour",
         num_buckets: int = 8,
+        source_query_id: str | None = None,
     ):
         self.spark = spark
         self.transcripts = transcripts
         self.bucket = bucket
+        # the transcript WRITER's query_id: crash-recovery looks up the
+        # snapshot that carried an epoch by manifest summary, and on a
+        # table written by several queries an epoch number alone is
+        # ambiguous — summaries record (query_id, epoch), so matching
+        # both picks the right writer's commit
+        self.source_query_id = source_query_id
         if SnapshotTable.exists(path):
             self.table = SnapshotTable(spark, path)
         else:
@@ -65,7 +72,14 @@ class RollupSync:
         epoch (manifest summaries record it), newest first."""
         for v in reversed(self.transcripts.versions()):
             s = self.transcripts.manifest(v).get("summary", {})
-            if s.get("operation") == "merge" and s.get("epoch") == epoch_id:
+            if (
+                s.get("operation") == "merge"
+                and s.get("epoch") == epoch_id
+                and (
+                    self.source_query_id is None
+                    or s.get("query_id") == self.source_query_id
+                )
+            ):
                 return int(v)
         return None
 

@@ -1,0 +1,288 @@
+"""Merge-on-read delta segments + bucket-count evolution.
+
+The 100 TB failure mode these guard (VERDICT r3 top item): pure
+copy-on-write rewrites every touched bucket per epoch, so once an
+epoch's keys spread uniformly across all buckets the per-epoch write
+cost is ∝ TABLE size, not batch size. MoR writes ∝ |batch| delta
+segments instead; reads apply LWW over base ∪ deltas; compact_deltas()
+folds them down in the background. rebucket() migrates a grown table to
+a bigger bucket spec without breaking concurrent ingest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_graph_visualizer_spark.lake.file_io import LocalFileIO
+from sql_graph_visualizer_spark.lake.snapshot_table import (
+    CommitConflictError,
+    SnapshotTable,
+)
+from sql_graph_visualizer_spark.operators.compaction import final_state
+from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log
+from sql_graph_visualizer_spark.streaming.replay import merge_with_retry, replay_batch
+
+from tests.test_lake import KEYS, SCHEMA, _sorted_state, _table
+
+
+def _state(t):
+    return sorted(
+        map(tuple, t.read().select("conv_id", "turn_idx", "text").collect())
+    )
+
+
+def _expected(log):
+    return sorted(map(tuple, final_state(log, payload_cols=("text",)).collect()))
+
+
+def test_mor_replay_equals_cow_and_batch_oracle(spark, tmp_path):
+    """4 MoR epochs == 4 CoW epochs == batch final state; deltas actually
+    accumulated (no hidden base rewrite) and compact_deltas() folds them
+    without changing the logical state."""
+    log = gen_cdc_log(spark, 2000, num_convs=12, turns_per_conv=8)
+    mor, cow = _table(spark, tmp_path, "mor"), _table(spark, tmp_path, "cow")
+    replay_batch(log, cow, epochs=4, bounds=(0, 1999))
+    replay_batch(log, mor, epochs=4, bounds=(0, 1999), merge_mode="mor")
+    assert _state(mor) == _state(cow) == _expected(log)
+    m = mor.manifest()
+    n_deltas = sum(len(v) for v in (m.get("deltas") or {}).values())
+    assert n_deltas > 0  # MoR really wrote deltas
+    assert not m["segments"]  # base never written: every epoch was a delta
+    res = mor.compact_deltas()
+    assert res["buckets"] > 0
+    m2 = mor.manifest()
+    assert sum(len(v) for v in (m2.get("deltas") or {}).values()) == 0
+    assert _state(mor) == _expected(log)
+    # after folding, reads are plain scans again (same rows, no deltas)
+    assert mor.size_stats()["total_files"] > 0
+
+
+def test_mor_bytes_written_proportional_to_batch(spark, tmp_path):
+    """THE MoR contract: an epoch whose keys spread across every bucket
+    writes ∝ |batch| bytes under MoR, while CoW rewrites ∝ touched-bucket
+    bytes (here: the whole table)."""
+    buckets = 8
+    # fatten payloads (512 varied chars/row) so data bytes dwarf the
+    # parquet per-file metadata floor — the proportionality under test
+    # is about DATA volume, which is what dominates at real scale
+    base_log = gen_cdc_log(spark, 20_000, num_convs=200, turns_per_conv=10).withColumn(
+        "text",
+        F.concat(
+            *[
+                F.md5(F.concat_ws(":", "conv_id", "turn_idx", "seq", F.lit(str(i))))
+                for i in range(16)
+            ]
+        ),
+    )
+    mor, cow = (
+        _table(spark, tmp_path, "mor", buckets=buckets),
+        _table(spark, tmp_path, "cow", buckets=buckets),
+    )
+    for t in (mor, cow):
+        t.merge_upsert(base_log, epoch_id=0, query_id="q")
+    table_bytes = cow.size_stats()["total_bytes"]
+
+    # one update per conversation: 200 keys spread across ALL buckets
+    update = (
+        base_log.groupBy("conv_id")
+        .agg(F.max("seq").alias("seq"), F.first("turn_idx").alias("turn_idx"))
+        .withColumn("seq", F.col("seq") + 100_000)
+        .withColumn("op", F.lit("update"))
+        .withColumn("role", F.lit("user"))
+        .withColumn("text", F.lit("small-update"))
+        .withColumn("tool", F.lit(None).cast("string"))
+        .withColumn("ts", F.current_timestamp())
+    )
+    st_cow = cow.merge_upsert(update, epoch_id=1, query_id="q")
+    st_mor = mor.merge_upsert(update, epoch_id=1, query_id="q", mode="mor")
+    assert st_cow.buckets_touched == buckets == st_mor.buckets_touched
+    # CoW rewrote essentially the whole table; MoR wrote a sliver
+    assert st_cow.bytes_written > 0.5 * table_bytes
+    assert st_mor.bytes_written < 0.2 * st_cow.bytes_written
+    # both recorded in the manifest summary for observability
+    assert mor.manifest()["summary"]["bytes_written"] == st_mor.bytes_written
+    assert mor.manifest()["summary"]["mode"] == "mor"
+    # and the logical state is identical
+    assert _state(mor) == _state(cow)
+
+
+def test_mor_deletes_epoch_fence_and_system_rows(spark, tmp_path):
+    """Delta tombstones mask base rows at read time; fencing skips
+    replayed MoR epochs; tombstones persist as system rows through
+    compaction (a stale pre-delete event must still lose after fold)."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 600, num_convs=6, turns_per_conv=5)
+    t.merge_upsert(log.filter("seq < 300"), epoch_id=0, query_id="q")
+    live = t.read().select("conv_id", "turn_idx").limit(3).collect()
+    deletes = spark.createDataFrame(
+        [
+            (10_000 + i, "delete", r.conv_id, r.turn_idx, None, None, None, None)
+            for i, r in enumerate(live)
+        ],
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    before = t.read().count()
+    tomb_before = t.read(system=True).filter(F.col("_deleted")).count()
+    st = t.merge_upsert(deletes, epoch_id=1, query_id="q", mode="mor")
+    assert st.deletes == 3
+    assert t.read().count() == before - 3
+    # replayed epoch is fenced (no double delta)
+    st2 = t.merge_upsert(deletes, epoch_id=1, query_id="q", mode="mor")
+    assert st2.skipped
+    # tombstones visible as system rows, and survive the fold
+    sysdf = t.read(system=True)
+    assert sysdf.filter(F.col("_deleted")).count() == tomb_before + 3
+    t.compact_deltas()
+    assert t.read(system=True).filter(F.col("_deleted")).count() == tomb_before + 3
+    assert t.read().count() == before - 3
+
+
+def test_mor_schema_evolution_delta(spark, tmp_path):
+    """A MoR epoch carrying a new column evolves the schema; base files
+    written pre-evolution read back aligned (NULL-filled) through the
+    LWW fold."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 400, num_convs=5, schema_v2_from=200)
+    t.merge_upsert(log.filter(F.col("schema_ver") == 1).drop("model"), epoch_id=0, query_id="q")
+    t.merge_upsert(log.filter(F.col("schema_ver") == 2), epoch_id=1, query_id="q", mode="mor")
+    assert "model" in [f.name for f in t.schema().fields]
+    got = t.read()
+    assert got.filter(F.col("model").isNotNull()).count() > 0
+    expected = final_state(log, payload_cols=("text", "model"))
+    assert sorted(
+        map(tuple, got.select("conv_id", "turn_idx", "text", "model").collect())
+    ) == sorted(map(tuple, expected.collect()))
+
+
+def test_bucket_pruned_read_applies_deltas(spark, tmp_path):
+    """A pruned read (the MERGE/GraphSync path) of a delta-carrying
+    bucket folds that bucket's deltas — and ONLY delta buckets pay the
+    LWW pass (plain buckets union in untouched)."""
+    t = _table(spark, tmp_path, buckets=8)
+    log = gen_cdc_log(spark, 1000, num_convs=20, turns_per_conv=6)
+    t.merge_upsert(log, epoch_id=0, query_id="q")
+    conv = log.select("conv_id").first()[0]
+    upd = spark.createDataFrame(
+        [(50_000, "update", conv, 0, "user", "delta-text", None, None)],
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    st = t.merge_upsert(upd, epoch_id=1, query_id="q", mode="mor")
+    assert st.buckets_touched == 1
+    b = int(
+        spark.createDataFrame([(conv,)], "conv_id string")
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(8)).alias("b"))
+        .first()["b"]
+    )
+    pruned = t.read(buckets=[b]).filter(
+        (F.col("conv_id") == conv) & (F.col("turn_idx") == 0)
+    )
+    assert [r.text for r in pruned.collect()] == ["delta-text"]
+
+
+def test_compact_deltas_yields_to_concurrent_ingest(spark, tmp_path):
+    """compact_deltas validates bucket tokens: a commit that lands on a
+    target bucket between fold and manifest write invalidates the job
+    (ingest wins; maintenance reruns)."""
+    from tests.test_lake import _inject_competing_commit
+
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 600, num_convs=8, turns_per_conv=5)
+    t.merge_upsert(log.filter("seq < 300"), epoch_id=0, query_id="q")
+    t.merge_upsert(log.filter("seq >= 300"), epoch_id=1, query_id="q", mode="mor")
+    target = next(b for b, refs in t.manifest()["deltas"].items() if refs)
+    _inject_competing_commit(t, touch_bucket=int(target))
+    with pytest.raises(CommitConflictError):
+        t.compact_deltas()
+    # ingest-owned retry shape: rerun converges on the new base
+    # (the competitor faked the segment pointer, so just assert the
+    # validation fired; logical-state checks live in the tests above)
+
+
+def test_expire_snapshots_keeps_live_delta_segments(spark, tmp_path):
+    """Delta segments and their data files are GC roots while any kept
+    snapshot references them."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 600, num_convs=6, turns_per_conv=5)
+    t.merge_upsert(log.filter("seq < 300"), epoch_id=0, query_id="q")
+    t.merge_upsert(log.filter("seq >= 300"), epoch_id=1, query_id="q", mode="mor")
+    before = _state(t)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 1
+    t2 = SnapshotTable(spark, t.path)  # fresh caches: must re-read from disk
+    assert _state(t2) == before
+
+
+def test_rebucket_preserves_state_and_new_spec(spark, tmp_path):
+    """rebucket() rewrites under the new spec: state identical, deltas
+    folded, num_buckets updated, and pruned reads under the new spec
+    find the rows."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 1200, num_convs=16, turns_per_conv=6)
+    replay_batch(log.filter("seq < 900"), t, epochs=3, bounds=(0, 899))
+    t.merge_upsert(log.filter("seq >= 900"), epoch_id=99, query_id="mor", mode="mor")
+    before = _state(t)
+    t.rebucket(32)
+    m = t.manifest()
+    assert m["num_buckets"] == 32
+    assert not any((m.get("deltas") or {}).values())
+    assert _state(t) == before
+    # pruned read under the NEW spec
+    conv = log.select("conv_id").first()[0]
+    b = int(
+        spark.createDataFrame([(conv,)], "conv_id string")
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(32)).alias("b"))
+        .first()["b"]
+    )
+    assert t.read(buckets=[b]).filter(F.col("conv_id") == conv).count() > 0
+
+
+def test_rebucket_between_prepare_and_upsert_recomputes_buckets(spark, tmp_path):
+    """A merge prepared under the old spec must not prune with stale
+    bucket ids after a rebucket lands: merge_upsert detects the spec
+    change (PreparedMerge.num_buckets) and recomputes the affected set —
+    final state still equals the batch oracle."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 1000, num_convs=12, turns_per_conv=6)
+    t.merge_upsert(log.filter("seq < 500"), epoch_id=0, query_id="q")
+    tail = log.filter("seq >= 500")
+    prep = t.merge_prepare(tail)
+    assert prep.num_buckets == 4
+    t.rebucket(16)  # migration lands while the merge is in flight
+    st = t.merge_upsert(tail, epoch_id=1, query_id="q", prepared=prep)
+    assert not st.skipped
+    assert _state(t) == _expected(log)
+
+
+def test_rebucket_racing_inflight_merge_conflicts_then_converges(spark, tmp_path):
+    """The other interleaving: rebucket commits AFTER the merge read its
+    base manifest → the merge's bucket-token validation fires and
+    merge_with_retry recomputes on the new layout. Mid-replay migration
+    ends with oracle-equal state."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 1000, num_convs=12, turns_per_conv=6)
+    t.merge_upsert(log.filter("seq < 500"), epoch_id=0, query_id="q")
+
+    # inject: rebucket wins the race exactly once, right before the
+    # merge's manifest write
+    orig = t._write_manifest
+    fired = {"done": False}
+
+    def racy(manifest):
+        if not fired["done"] and manifest.get("summary", {}).get("operation") == "merge":
+            fired["done"] = True
+            t._write_manifest = orig
+            shadow = SnapshotTable(t.spark, t.path)
+            shadow.rebucket(16)
+        return orig(manifest)
+
+    t._write_manifest = racy
+    st = merge_with_retry(t, log.filter("seq >= 500"), 1, "q")
+    assert not st.skipped
+    m = t.manifest()
+    assert m["num_buckets"] == 16
+    assert _state(t) == _expected(log)
