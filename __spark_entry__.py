@@ -133,6 +133,13 @@ def _replayed(spark: SparkSession, sf_dir: str, variant: str = "batch") -> Snaps
     elif variant == "salted":
         # hot_threshold=1 forces the salted two-level compaction path
         replay_batch(log, table, epochs=4, hot_threshold=1)
+    elif variant == "mor":
+        # merge-on-read: every epoch lands as delta segments (bytes ∝
+        # batch, base untouched); fold HALF the buckets afterwards so the
+        # verified read covers base-only, base+delta and delta-only
+        # bucket states in one table
+        replay_batch(log, table, epochs=4, merge_mode="mor")
+        table.compact_deltas(buckets=list(range(8)))
     elif variant == "lineage":
         rec = LineageRecorder(spark, os.path.join(base, "lineage"))
         replay_batch(log, table, epochs=4, lineage=rec)
@@ -163,6 +170,16 @@ def q_cdc_replay_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same final state with forced hot-key salting (two-level LWW
     compaction) — proves salting never changes results, only plans."""
     return _replayed(spark, sf_dir, "salted").read()
+
+
+def q_cdc_final_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state via merge-on-read epochs: every MERGE writes
+    delta segments only (per-epoch bytes ∝ batch, never ∝ touched-bucket
+    bytes — the 100 TB regime where copy-on-write degenerates), half the
+    buckets then background-compacted, so this read exercises the
+    base-only, base+delta and delta-only paths of the LWW fold at once.
+    Reference semantics preserved: graph_aggregate.go:46-59 LWW."""
+    return _replayed(spark, sf_dir, "mor").read()
 
 
 def q_cdc_compact_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,6 +903,69 @@ def q_cdc_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts_from_lineage(rec.read(), t)
 
 
+def q_cdc_alerts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stateful alerting end to end (the reference monitor keeps
+    in-process state between ticks, realtime_performance_monitor.go:421-481):
+    ``consecutive_breach_alerts`` (applyInPandasWithState) over a
+    deterministic per-day metric stream — one 'alert' row at the K-th
+    consecutive breaching epoch, one 'resolved' row when the streak ends.
+    The stream runs as TWO sequential availableNow passes sharing a
+    checkpoint, so breach streaks must survive a restart through the
+    checkpointed state store. Oracle: the same K-streak policy as
+    gaps-and-islands window SQL."""
+    from sql_graph_visualizer_spark.streaming.stateful_alerts import (
+        consecutive_breach_alerts,
+    )
+
+    key = (sf_dir, "stateful_alerts_out")
+    if key not in _TABLES or not os.path.isdir(_TABLES[key]):
+        base = tempfile.mkdtemp(prefix="sgv_stalerts_")
+        src = os.path.join(base, "src")
+        out = os.path.join(base, "out")
+        ck = os.path.join(base, "ck")
+        e = _read(spark, sf_dir, "events")
+        daily = (
+            e.select(
+                F.col("event_type").alias("query_id"),
+                F.datediff(
+                    F.to_date(F.col("ts").cast("timestamp")),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                .cast("long")
+                .alias("epoch_id"),
+            )
+            .groupBy("query_id", "epoch_id")
+            .agg(F.count("*").cast("double").alias("value"))
+        )
+        thr = float(daily.agg(F.avg("value")).collect()[0][0])
+        halves = [F.col("epoch_id") < 15, F.col("epoch_id") >= 15]
+        for cond in halves:
+            # append this half's file, then drain: the second pass resumes
+            # from the checkpointed (streak, firing) state
+            daily.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "query_id string, epoch_id long, value double"
+            ).parquet(src)
+            q = (
+                consecutive_breach_alerts(stream, "value", threshold=thr, k=3)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        _TABLES[key] = out
+    return spark.read.parquet(_TABLES[key]).select(
+        "query_id",
+        "metric",
+        F.col("epoch_id").cast("long").alias("epoch_id"),
+        F.col("value").cast("double").alias("value"),
+        F.col("streak").cast("long").alias("streak"),
+        "event",
+    )
+
+
 def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 string family: concat/upper/substring/length/md5 (the
     reference's CONCAT synthetic keys, config.yml:161,236)."""
@@ -1254,13 +1334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC engine core
         "cdc_final_state": q_cdc_final_state,
         "cdc_replay_stream": q_cdc_replay_stream,
-        "cdc_replay_salted": q_cdc_replay_salted,
+        "cdc_final_state_mor": q_cdc_final_state_mor,
         "cdc_compact_lww": q_cdc_compact_lww,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_lineage": q_cdc_lineage,
         "cdc_regressions": q_cdc_regressions,
         "cdc_alerts": q_cdc_alerts,
+        "cdc_alerts_stateful": q_cdc_alerts_stateful,
         # derived graph (signature feature)
         "graph_conv_nodes": q_graph_conv_nodes,
         "graph_has_turn_edges": q_graph_has_turn_edges,
@@ -1276,7 +1357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed codecs, real Arrow/mapInPandas path)
         "mm_decode": q_mm_decode,
         "mm_frame_sample": q_mm_frame_sample,
-        "mm_resize_plan": q_mm_resize_plan,
         # analyzer / monitoring analytics
         "stream_qps_per_hour": q_stream_qps_per_hour,
         "stream_windowed_watermark": q_stream_windowed_watermark,
@@ -1309,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         # family variants (operator coverage proven by the sibling rows
         # above and by tests/; registered last — see NOTE)
+        "cdc_replay_salted": q_cdc_replay_salted,
+        "mm_resize_plan": q_mm_resize_plan,
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
         "graph_nodes_by_type": q_graph_nodes_by_type,
         "graph_search_nodes": q_graph_search_nodes,
@@ -1334,7 +1416,41 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": FINAL_STATE_SQL,
         "cdc_replay_stream": FINAL_STATE_SQL,
+        "cdc_final_state_mor": FINAL_STATE_SQL,
         "cdc_replay_salted": FINAL_STATE_SQL,
+        # K-consecutive-breach debounce as gaps-and-islands window SQL:
+        # breach flag over the same per-day metric, islands by cumulative
+        # non-breach count, 'alert' at streak == K, 'resolved' on the
+        # first non-breach after an island of length >= K
+        "cdc_alerts_stateful": """
+WITH base AS (
+  SELECT event_type AS query_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_id,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+),
+thr AS (SELECT avg(value) AS t FROM base),
+m AS (SELECT b.*, b.value > thr.t AS br FROM base b, thr),
+g AS (
+  SELECT *, sum(CASE WHEN br THEN 0 ELSE 1 END)
+              OVER (PARTITION BY query_id ORDER BY epoch_id) AS grp
+  FROM m
+),
+s AS (
+  SELECT *, CASE WHEN br THEN row_number()
+                 OVER (PARTITION BY query_id, grp, br ORDER BY epoch_id) END AS streak
+  FROM g
+),
+il AS (SELECT query_id, grp, count(*) AS ilen FROM s WHERE br GROUP BY 1, 2)
+SELECT query_id, 'value' AS metric, epoch_id, value,
+       CAST(streak AS BIGINT) AS streak, 'alert' AS event
+FROM s WHERE br AND streak = 3
+UNION ALL
+SELECT s.query_id, 'value' AS metric, s.epoch_id, s.value,
+       CAST(il.ilen AS BIGINT) AS streak, 'resolved' AS event
+FROM s JOIN il ON il.query_id = s.query_id AND il.grp = s.grp - 1
+WHERE NOT s.br AND il.ilen >= 3
+""",
         "cdc_compact_lww": _WINNERS
         + "SELECT conv_id, turn_idx, seq, op, role, text, tool, ts FROM winners",
         "cdc_final_state_batch_op": FINAL_STATE_SQL,
@@ -1722,7 +1838,7 @@ WITH rates AS (
   SELECT event_id, CAST(user_id % 10 AS BIGINT) AS k, ts FROM events
 )
 SELECT e.event_id, e.k, e.ts, r.ts AS ts_right, r.rate
-FROM ev e ASOF JOIN rates r ON e.k = r.k AND e.ts >= r.ts
+FROM ev e ASOF LEFT JOIN rates r ON e.k = r.k AND e.ts >= r.ts
 """,
         "join_range_binned": """
 WITH campaigns AS (

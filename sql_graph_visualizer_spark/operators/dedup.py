@@ -216,6 +216,61 @@ def minhash_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    join_keys: list[str],
+    sig_by_id: DataFrame,
+    sig_col: str,
+    out_a: str,
+    out_b: str,
+    bucket_cap: int,
+) -> DataFrame:
+    """Candidate pairs from LSH buckets with a per-bucket explosion guard.
+
+    A degenerate corpus (millions of byte-near-identical docs) collapses
+    into ONE bucket, whose self-join is ~n²/2 pairs — the only quadratic
+    cliff in the dedup family. Buckets over ``bucket_cap`` members
+    short-circuit: their members are byte-near-identical *by
+    construction* (they agree on every banded slot), so emitting the
+    star (min-id representative, member) — n-1 pairs — preserves the
+    dedup decision (members dedup against the representative;
+    member↔member duplicity is transitively implied) while bounding work
+    at O(Σ min(n_bucket, cap)·n_bucket). Verification (est-similarity /
+    Hamming filter) still runs on every emitted pair.
+    """
+    sizes = banded.groupBy(*join_keys).agg(F.count("*").alias("__n"))
+    sized = banded.join(sizes, on=join_keys)
+    small = sized.filter(F.col("__n") <= bucket_cap).drop("__n")
+    big = sized.filter(F.col("__n") > bucket_cap).drop("__n")
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (
+        a.join(b, on=join_keys)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias(out_a),
+            F.col("b.id").alias(out_b),
+            F.col(f"a.{sig_col}").alias("__sa"),
+            F.col(f"b.{sig_col}").alias("__sb"),
+        )
+    )
+    reps = big.groupBy(*join_keys).agg(F.min("id").alias("__rep"))
+    rep_sig = reps.join(
+        sig_by_id.select(F.col("id").alias("__rep"), F.col(sig_col).alias("__sa")),
+        on="__rep",
+    )
+    pairs_big = (
+        big.join(rep_sig, on=join_keys)
+        .filter(F.col("id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias(out_a),
+            F.col("id").alias(out_b),
+            F.col("__sa"),
+            F.col(sig_col).alias("__sb"),
+        )
+    )
+    return pairs_small.unionByName(pairs_big).dropDuplicates([out_a, out_b])
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -225,6 +280,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate Jaccard-similar pairs via banded MinHash LSH.
 
@@ -235,6 +291,10 @@ def minhash_lsh_pairs(
 
     Scale path: signatures are one narrow row per doc; the bucket join
     shuffles only (band, bucket-hash, id); no all-pairs stage exists.
+    ``bucket_cap`` guards the one quadratic cliff left — a degenerate
+    corpus collapsing into one bucket — by short-circuiting oversized
+    buckets to representative-star pairs (see ``_capped_bucket_pairs``);
+    None (default) keeps the exact banded semantics the oracle recomputes.
 
     Cache lifetime: the signature DataFrame is ``persist()``-ed because
     the self-join would otherwise recompute the shingle pipeline twice;
@@ -292,18 +352,23 @@ def minhash_lsh_pairs(
             ).alias("bb"),
         ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         join_keys = ["band", "bucket"]
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, on=join_keys)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+    if bucket_cap is not None:
+        cand = _capped_bucket_pairs(
+            banded, join_keys, sig, "sig", "a_id", "b_id", bucket_cap
+        ).withColumnsRenamed({"__sa": "sig_a", "__sb": "sig_b"})
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, on=join_keys)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
         )
-        .dropDuplicates(["a_id", "b_id"])
-    )
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda m: m == 1
@@ -359,6 +424,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the signature into 4
     equal chunks (16 bits each for the 64-bit default, 12 for the 48-bit
@@ -388,18 +454,23 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, on=["chunk", "val"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+    if bucket_cap is not None:
+        cand = _capped_bucket_pairs(
+            chunks, ["chunk", "val"], sigs, "simhash", "a_id", "b_id", bucket_cap
+        ).withColumnsRenamed({"__sa": "sa", "__sb": "sb"})
+    else:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = (
+            a.join(b, on=["chunk", "val"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
         )
-        .dropDuplicates(["a_id", "b_id"])
-    )
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)

@@ -56,22 +56,51 @@ class JdbcConfig:
         return out
 
 
+def _q_ident(name: str, quote: str = "`") -> str:
+    """Quote an identifier (optionally schema-qualified): each dot-part is
+    wrapped in the dialect's quote char with embedded quotes doubled — a
+    config-supplied table/column name can neither break the pushed query
+    nor smuggle SQL into it."""
+    return ".".join(
+        quote + part.replace(quote, quote * 2) + quote for part in name.split(".")
+    )
+
+
+def _q_str(value: str) -> str:
+    """Quote a string literal (embedded single quotes doubled)."""
+    return "'" + value.replace("'", "''") + "'"
+
+
 def _subquery(
     table: str,
     columns: list[str] | None = None,
     where: str | None = None,
     limit: int | None = None,
+    quote: str = "`",
 ) -> str:
     """The pushed-down relation: mirrors the reference's hand-built
     extraction SQL (mysql/repository.go:421-450) — executed BY the
-    database, not by Spark."""
-    cols = ", ".join(columns) if columns else "*"
-    sql = f"SELECT {cols} FROM {table}"
+    database, not by Spark. Table/column identifiers are quoted;
+    ``where`` is caller-supplied SQL by contract (the reference's rule
+    files embed raw predicates)."""
+    cols = ", ".join(_q_ident(c, quote) for c in columns) if columns else "*"
+    sql = f"SELECT {cols} FROM {_q_ident(table, quote)}"
     if where:
         sql += f" WHERE {where}"
     if limit is not None:
         sql += f" LIMIT {int(limit)}"
     return f"({sql}) AS sgv_src"
+
+
+# the reference's monitoring tick pulls exactly these counters
+# (performance_schema_adapter.go:collectGlobalStatus)
+DEFAULT_STATUS_VARS = (
+    "Queries", "Connections", "Slow_queries", "Open_tables",
+    "Threads_running", "Threads_connected",
+    "Innodb_buffer_pool_read_requests", "Innodb_buffer_pool_reads",
+    "Key_read_requests", "Key_reads",
+    "Created_tmp_tables", "Created_tmp_disk_tables",
+)
 
 
 class JdbcSource:
@@ -88,6 +117,9 @@ class JdbcSource:
         self.spark = spark
         self.config = config
         self._reader = reader or self._jdbc_read
+        # identifier quote char by dialect: ANSI double quotes for
+        # PostgreSQL, backticks for MySQL/MariaDB
+        self._quote = '"' if "postgresql" in config.url else "`"
 
     def _jdbc_read(self, options: dict[str, str]) -> DataFrame:
         r = self.spark.read.format("jdbc")
@@ -110,7 +142,7 @@ class JdbcSource:
         (each executor pulls one key range); without it, a single cursor —
         fine for dimension tables, wrong for fact tables."""
         opts = self.config.options()
-        opts["dbtable"] = _subquery(table, columns, where, limit)
+        opts["dbtable"] = _subquery(table, columns, where, limit, quote=self._quote)
         if partition_col is not None:
             if bounds is None:
                 raise ValueError("partitioned JDBC read needs explicit (lower, upper) bounds")
@@ -131,7 +163,7 @@ class JdbcSource:
         flt = flt or TableFilter()
         q = (
             "SELECT table_name FROM information_schema.tables "
-            f"WHERE table_schema = '{database}' AND table_type = 'BASE TABLE'"
+            f"WHERE table_schema = {_q_str(database)} AND table_type = 'BASE TABLE'"
         )
         opts = self.config.options()
         opts["dbtable"] = f"({q}) AS sgv_tables"
@@ -144,3 +176,111 @@ class JdbcSource:
         """name → DataFrame for every admitted table — the source dict the
         rule engine / discovery consume (parquet-catalog parity)."""
         return {n: self.read(n) for n in self.list_tables(database, flt)}
+
+    # ------------------------------------------------- catalog metadata (S5)
+
+    def table_columns(self, database: str, table: str) -> DataFrame:
+        """S5 column-metadata scan: INFORMATION_SCHEMA.COLUMNS ordered by
+        ordinal position — the reference's getTableColumns
+        (mysql/repository.go:349-395), with the schema made explicit
+        instead of DATABASE() so one Spark session can catalog many
+        databases."""
+        q = (
+            "SELECT column_name, data_type, is_nullable, column_key, "
+            "column_default, extra "
+            "FROM information_schema.columns "
+            f"WHERE table_schema = {_q_str(database)} "
+            f"AND table_name = {_q_str(table)} "
+            "ORDER BY ordinal_position"
+        )
+        opts = self.config.options()
+        opts["dbtable"] = f"({q}) AS sgv_cols"
+        return self._reader(opts)
+
+    def foreign_keys(self, database: str) -> DataFrame:
+        """FK constraints for rule discovery (S6): the reference reads
+        KEY_COLUMN_USAGE (schema_analyzer_service.go FK scan)."""
+        q = (
+            "SELECT table_name, column_name, referenced_table_name, "
+            "referenced_column_name "
+            "FROM information_schema.key_column_usage "
+            f"WHERE table_schema = {_q_str(database)} "
+            "AND referenced_table_name IS NOT NULL"
+        )
+        opts = self.config.options()
+        opts["dbtable"] = f"({q}) AS sgv_fks"
+        return self._reader(opts)
+
+    def load_table_meta(self, database: str, flt: TableFilter | None = None):
+        """database catalog → ``plans.discovery.TableMeta`` per admitted
+        table, so ``discover_rules`` runs end-to-end from a live
+        INFORMATION_SCHEMA instead of hand-declared metadata. The listing
+        and FK scans are one pushed query each; column scans are one per
+        table (dimension-table sized — catalogs are small)."""
+        from sql_graph_visualizer_spark.plans.discovery import ForeignKey, TableMeta
+
+        fks_by_table: dict[str, list[ForeignKey]] = {}
+        for r in self.foreign_keys(database).collect():
+            fks_by_table.setdefault(r[0], []).append(
+                ForeignKey(column=r[1], ref_table=r[2], ref_column=r[3])
+            )
+        out: dict[str, TableMeta] = {}
+        for name in self.list_tables(database, flt):
+            cols = self.table_columns(database, name).collect()
+            out[name] = TableMeta(
+                name=name,
+                columns=tuple(r[0] for r in cols),
+                primary_key=tuple(r[0] for r in cols if (r[3] or "") == "PRI"),
+                foreign_keys=tuple(fks_by_table.get(name, ())),
+            )
+        return out
+
+    # ------------------------------------------- monitoring source (S14)
+
+    def statement_digests(
+        self,
+        min_exec_count: int = 10,
+        min_avg_latency_ms: float = 1.0,
+        max_statements: int = 100,
+    ) -> DataFrame:
+        """The reference's per-tick statement poll
+        (performance_schema_adapter.go:498-546): digest aggregate stats
+        above execution-count and latency thresholds, top-N by total
+        wait. The thresholds, ordering and LIMIT all run in the
+        database; only the top-N rows cross the wire — at 10^6 distinct
+        digests the pushed form is the difference between a KB and a GB
+        per poll. Feeds ``operators/text.sql_digest_tables`` and the
+        hotspot/QPS queries downstream."""
+        q = (
+            "SELECT COALESCE(schema_name, 'NULL') AS schema_name, digest, "
+            "COALESCE(digest_text, '') AS digest_text, count_star, "
+            "sum_timer_wait, min_timer_wait, avg_timer_wait, max_timer_wait, "
+            "sum_rows_affected, sum_rows_sent, sum_rows_examined, "
+            "sum_created_tmp_tables, sum_created_tmp_disk_tables, "
+            "sum_select_full_join, sum_select_scan, sum_sort_scan, "
+            "sum_sort_rows, sum_no_index_used, sum_no_good_index_used, "
+            "first_seen, last_seen "
+            "FROM performance_schema.events_statements_summary_by_digest "
+            f"WHERE count_star >= {int(min_exec_count)} "
+            f"AND avg_timer_wait >= {int(min_avg_latency_ms * 1_000_000)} "
+            "ORDER BY sum_timer_wait DESC "
+            f"LIMIT {int(max_statements)}"
+        )
+        opts = self.config.options()
+        opts["dbtable"] = f"({q}) AS sgv_digests"
+        return self._reader(opts)
+
+    def global_status(self, variables: tuple[str, ...] = DEFAULT_STATUS_VARS) -> DataFrame:
+        """The reference's global-status poll
+        (performance_schema_adapter.go:collectGlobalStatus): the QPS /
+        connections / buffer-pool counters its monitor derives metrics
+        from, as (variable_name, variable_value) rows."""
+        names = ", ".join(_q_str(v) for v in variables)
+        q = (
+            "SELECT variable_name, variable_value "
+            "FROM performance_schema.global_status "
+            f"WHERE variable_name IN ({names})"
+        )
+        opts = self.config.options()
+        opts["dbtable"] = f"({q}) AS sgv_status"
+        return self._reader(opts)

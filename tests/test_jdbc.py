@@ -18,9 +18,11 @@ from sql_graph_visualizer_spark.sources.jdbc import JdbcConfig, JdbcSource
 class FakeDb:
     """Records options per read; serves DataFrames like a tiny database."""
 
-    def __init__(self, spark, tables):
+    def __init__(self, spark, tables, meta=None, fks=None):
         self.spark = spark
         self.tables = tables  # name -> DataFrame
+        self.meta = meta or {}  # name -> INFORMATION_SCHEMA.COLUMNS rows
+        self.fks = fks or []  # KEY_COLUMN_USAGE rows
         self.calls: list[dict[str, str]] = []
 
     def __call__(self, options):
@@ -30,8 +32,23 @@ class FakeDb:
             return self.spark.createDataFrame(
                 [(n,) for n in self.tables], "table_name string"
             )
+        if "information_schema.columns" in rel:
+            import re
+
+            table = re.search(r"table_name = '([^']*)'", rel).group(1)
+            return self.spark.createDataFrame(
+                self.meta.get(table, []),
+                "column_name string, data_type string, is_nullable string, "
+                "column_key string, column_default string, extra string",
+            )
+        if "information_schema.key_column_usage" in rel:
+            return self.spark.createDataFrame(
+                self.fks,
+                "table_name string, column_name string, "
+                "referenced_table_name string, referenced_column_name string",
+            )
         for name, df in self.tables.items():
-            if f"FROM {name}" in rel:
+            if f"FROM {name}" in rel or f"FROM `{name}`" in rel:
                 return df
         raise AssertionError(f"unexpected relation {rel!r}")
 
@@ -56,7 +73,7 @@ def test_pushdown_subquery_shape(src):
     s.read("customer", columns=["c_custkey", "c_name"], where="c_mktsegment = 'BUILDING'", limit=10)
     rel = fake.calls[-1]["dbtable"]
     assert rel == (
-        "(SELECT c_custkey, c_name FROM customer "
+        "(SELECT `c_custkey`, `c_name` FROM `customer` "
         "WHERE c_mktsegment = 'BUILDING' LIMIT 10) AS sgv_src"
     )
     assert fake.calls[-1]["fetchsize"] == "5000"
@@ -83,3 +100,121 @@ def test_list_and_load_tables_filtered(src):
     loaded = s.load_tables("tpch", TableFilter(exclude=("audit_*",)))
     assert set(loaded) == {"customer", "nation"}
     assert loaded["customer"].count() == 2
+
+
+def test_identifiers_and_literals_are_escaped(spark):
+    """A quote in a config-supplied identifier or schema name must
+    neither break the pushed query nor inject SQL (ADVICE r3)."""
+    fake = FakeDb(spark, {})
+    s = JdbcSource(spark, JdbcConfig(url="jdbc:mysql://h/db"), reader=fake)
+    try:
+        s.read("cust`omer; DROP TABLE x", columns=["a`b"])
+    except AssertionError:
+        pass  # FakeDb serves no such table; we only inspect the SQL
+    rel = fake.calls[-1]["dbtable"]
+    assert "FROM `cust``omer; DROP TABLE x`" in rel
+    assert "SELECT `a``b`" in rel
+    try:
+        s.list_tables("tp'ch; --")
+    except Exception:
+        pass
+    assert "table_schema = 'tp''ch; --'" in fake.calls[-1]["dbtable"]
+    # PostgreSQL dialect quotes with ANSI double quotes
+    pg = JdbcSource(spark, JdbcConfig(url="jdbc:postgresql://h/db"), reader=fake)
+    try:
+        pg.read("sch.tab", columns=["c"])
+    except AssertionError:
+        pass
+    assert 'FROM "sch"."tab"' in fake.calls[-1]["dbtable"]
+
+
+def test_table_columns_pushed_sql(src):
+    """S5 column-metadata scan: the exact INFORMATION_SCHEMA.COLUMNS
+    query of the reference (mysql/repository.go:349-395)."""
+    s, fake = src
+    fake.meta = {"customer": [("c_custkey", "bigint", "NO", "PRI", None, "")]}
+    df = s.table_columns("tpch", "customer")
+    rel = fake.calls[-1]["dbtable"]
+    assert rel == (
+        "(SELECT column_name, data_type, is_nullable, column_key, "
+        "column_default, extra FROM information_schema.columns "
+        "WHERE table_schema = 'tpch' AND table_name = 'customer' "
+        "ORDER BY ordinal_position) AS sgv_cols"
+    )
+    assert [r[0] for r in df.collect()] == ["c_custkey"]
+
+
+def test_statement_digests_pushed_sql(src):
+    """S14 monitoring poll: thresholds, ordering and LIMIT run in the
+    database (performance_schema_adapter.go:498-546) — only top-N rows
+    cross the wire."""
+    s, fake = src
+    fake.tables["performance_schema.events_statements_summary_by_digest"] = (
+        s.spark.createDataFrame([("db", "d1")], "schema_name string, digest string")
+    )
+    try:
+        s.statement_digests(min_exec_count=25, min_avg_latency_ms=2.5, max_statements=40)
+    except AssertionError:
+        pass
+    rel = fake.calls[-1]["dbtable"]
+    assert "FROM performance_schema.events_statements_summary_by_digest" in rel
+    assert "WHERE count_star >= 25" in rel
+    assert "avg_timer_wait >= 2500000" in rel  # ms → ns, reference convention
+    assert rel.rstrip(") AS sgv_digests").endswith("LIMIT 40")
+    assert "ORDER BY sum_timer_wait DESC" in rel
+    for col in ("digest_text", "sum_rows_examined", "sum_no_index_used", "last_seen"):
+        assert col in rel
+
+
+def test_global_status_pushed_sql(src):
+    s, fake = src
+    fake.tables["performance_schema.global_status"] = s.spark.createDataFrame(
+        [("Queries", "120")], "variable_name string, variable_value string"
+    )
+    try:
+        s.global_status()
+    except AssertionError:
+        pass
+    rel = fake.calls[-1]["dbtable"]
+    assert "FROM performance_schema.global_status" in rel
+    assert "'Queries'" in rel and "'Innodb_buffer_pool_reads'" in rel
+
+
+def test_discovery_from_live_information_schema(spark):
+    """S5+S6 end to end: TableMeta built from (fake) INFORMATION_SCHEMA
+    rows feeds discover_rules — junction detection and FK-derived
+    relationship rules run off a live catalog, not hand-declared
+    metadata."""
+    from sql_graph_visualizer_spark.plans.discovery import discover_rules
+
+    def cols(*names, pk=(), fk=()):
+        return [
+            (n, "bigint", "NO", "PRI" if n in pk else "MUL" if n in fk else "",
+             None, "")
+            for n in names
+        ]
+
+    meta = {
+        "users": cols("id", "name", "email", pk=("id",)),
+        "orders": cols("id", "user_id", "total", pk=("id",), fk=("user_id",)),
+        "user_role": cols("user_id", "role_id", fk=("user_id", "role_id")),
+        "roles": cols("id", "label", pk=("id",)),
+    }
+    fks = [
+        ("orders", "user_id", "users", "id"),
+        ("user_role", "user_id", "users", "id"),
+        ("user_role", "role_id", "roles", "id"),
+    ]
+    fake = FakeDb(spark, {n: spark.range(1) for n in meta}, meta=meta, fks=fks)
+    s = JdbcSource(spark, JdbcConfig(url="jdbc:mysql://h/app"), reader=fake)
+    tm = s.load_table_meta("app")
+    assert set(tm) == set(meta)
+    assert tm["orders"].primary_key == ("id",)
+    assert tm["user_role"].foreign_keys[0].ref_table in ("users", "roles")
+    node_rules, rel_rules = discover_rules(list(tm.values()))
+    # node rules for entity tables; the junction table becomes a relationship
+    assert "create_users_nodes" in {r.name for r in node_rules}
+    assert "user_role_junction" in {r.name for r in rel_rules}
+    assert "orders_user_id_rel" in {r.name for r in rel_rules} or any(
+        "orders" in r.name for r in rel_rules
+    )

@@ -85,6 +85,36 @@ def test_simhash_portable_exact_copies(spark):
     assert sum(found.get((i, i + 100000)) == 0 for i in range(40)) == 40
 
 
+def test_bucket_cap_bounds_degenerate_corpus(spark):
+    """The LSH explosion guard (VERDICT r3 #6): 10k byte-identical docs
+    collapse into ONE bucket per band — uncapped, that is ~5·10⁷
+    candidate pairs; with ``bucket_cap`` the output is the n-1
+    representative star, computed in O(n)."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("the same document text repeated verbatim everywhere").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=64).collect()
+    assert len(pairs) == n - 1  # star, not n²/2
+    assert all(r.a_id == 0 for r in pairs)  # anchored at the min-id rep
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+    sh = simhash_near_pairs(docs, max_hamming=3, bucket_cap=64).collect()
+    assert len(sh) == n - 1
+    assert all(r.a_id == 0 and r.hamming == 0 for r in sh)
+
+
+def test_bucket_cap_no_op_on_normal_corpus(spark):
+    """A cap above every real bucket size must not change results —
+    the capped path stays oracle-exact for non-degenerate corpora."""
+    docs = _docs(spark).limit(60)
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(copies)
+    base = {(r.a_id, r.b_id, r.est_jaccard) for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    capped = {(r.a_id, r.b_id, r.est_jaccard) for r in minhash_lsh_pairs(corpus, threshold=0.5, bucket_cap=10_000).collect()}
+    assert base == capped
+
+
 def test_dedup_oracle_sql_generators():
     """The oracle SQL embeds the same constants as the Spark plans."""
     from sql_graph_visualizer_spark.operators.dedup import (
