@@ -75,7 +75,7 @@ mk = lambda n: SnapshotTable.create(spark, os.path.join(scratch, n), TRANSCRIPT_
 replay_batch(log.filter(f"seq < {{events // 8}}"), mk("w"), epochs=2,
              bounds=(0, events // 8 - 1))
 best = None
-for trial in range(2):
+for trial in range(3):
     t0 = time.perf_counter()
     replay_batch(log, mk(f"t{{trial}}"), epochs=4, query_id=f"q{{trial}}",
                  bounds=(0, events - 1))
@@ -150,7 +150,7 @@ def main() -> None:
     if flagship is not None:
         timings["cdc_replay_throughput"] = float(flagship["sec"])
         extra["cdc_events_per_sec"] = float(flagship["events_per_sec"])
-        extra["flagship_topology"] = f"local-cluster[{max(1, CPUS // 4)},4] child, min-of-2"
+        extra["flagship_topology"] = f"local-cluster[{max(1, CPUS // 4)},4] child, min-of-3"
     else:
         # fallback: same kernel inline on the suite session (single JVM)
         base = tempfile.mkdtemp(prefix="bench_cdc_", dir=scratch)

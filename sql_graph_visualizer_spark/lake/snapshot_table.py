@@ -189,6 +189,13 @@ class SnapshotTable:
 
         self._seg_cache: "OrderedDict[str, list[dict[str, Any]]]" = OrderedDict()
         self._seg_cache_max = 4096
+        # manifest files are immutable per version → cache their TEXT
+        # (parsed fresh per call: callers mutate the dicts). Shaves the
+        # per-epoch serial metadata round-trips — on an object store each
+        # avoided read is a GET on the commit critical path, which is
+        # what strong-scaling efficiency pays for at any cluster size.
+        self._man_cache: "OrderedDict[int, str]" = OrderedDict()
+        self._man_cache_max = 16
 
     # ------------------------------------------------------------------ DDL
 
@@ -257,9 +264,18 @@ class SnapshotTable:
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         """Current manifest, or a historical one for time travel (the
         Iceberg `VERSION AS OF` analogue — any unexpired snapshot is a
-        complete, immutable description of the table at that commit)."""
+        complete, immutable description of the table at that commit).
+        Text is cached by version (immutable once created); each call
+        parses a fresh dict because callers mutate manifests in place."""
         v = self._current_version() if version is None else int(version)
-        return json.loads(self.io.read_text(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")))
+        if v in self._man_cache:
+            self._man_cache.move_to_end(v)
+            return json.loads(self._man_cache[v])
+        text = self.io.read_text(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json"))
+        self._man_cache[v] = text
+        while len(self._man_cache) > self._man_cache_max:
+            self._man_cache.popitem(last=False)
+        return json.loads(text)
 
     def versions(self) -> list[int]:
         """All retained snapshot versions (ascending)."""
@@ -303,8 +319,13 @@ class SnapshotTable:
         atomic rename of the version hint."""
         v = manifest["version"]
         mpath = os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json")
+        text = json.dumps(manifest)
         # raises FileExistsError on a lost commit race (optimistic lock)
-        self.io.create_exclusive(mpath, json.dumps(manifest))
+        self.io.create_exclusive(mpath, text)
+        # seed the cache: the next epoch's manifest() hits it without IO
+        self._man_cache[int(v)] = text
+        while len(self._man_cache) > self._man_cache_max:
+            self._man_cache.popitem(last=False)
         self.io.replace_atomic(os.path.join(self.path, _HINT), str(v))
 
     def schema(self) -> T.StructType:
@@ -1192,6 +1213,7 @@ class SnapshotTable:
         for v in versions:
             if v not in keep:
                 self.io.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
+                self._man_cache.pop(v, None)
                 removed += 1
 
         def too_young(path: str) -> bool:
