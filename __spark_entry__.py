@@ -381,7 +381,10 @@ def q_rollup_turns_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(base, "t"), TRANSCRIPT_SCHEMA,
             key_cols=["conv_id", "turn_idx"], num_buckets=16,
         )
-        rs = RollupSync(spark, os.path.join(base, "rollup"), table, bucket="hour")
+        rs = RollupSync(
+            spark, os.path.join(base, "rollup"), table, bucket="hour",
+            source_query_id="rollup",
+        )
         bounds = log.agg(F.min("seq"), F.max("seq")).collect()[0]
         lo, hi = int(bounds[0]), int(bounds[1])
         span = max(1, (hi - lo + 4) // 4)

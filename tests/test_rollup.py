@@ -60,7 +60,10 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
 def test_rollup_fenced_and_crash_recovery(spark, tmp_path):
     log = gen_cdc_log(spark, 2000, num_convs=8, turns_per_conv=5)
     t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
-    rs = RollupSync(spark, str(tmp_path / "r"), t, bucket="hour")
+    # source_query_id pins recovery lookups to THIS writer's commits
+    # (manifest summaries record (query_id, epoch); an epoch number alone
+    # is ambiguous on a multi-writer table — ADVICE r3)
+    rs = RollupSync(spark, str(tmp_path / "r"), t, bucket="hour", source_query_id="q")
     half = log.filter(F.col("seq") < 1000)
     st0 = t.merge_upsert(half, epoch_id=0, query_id="q")
     rs.sync(half, 0, st0)
@@ -76,6 +79,13 @@ def test_rollup_fenced_and_crash_recovery(spark, tmp_path):
     # recover the original snapshot pair by epoch id and apply the delta
     rest = log.filter(F.col("seq") >= 1000)
     t.merge_upsert(rest, epoch_id=1, query_id="q")  # rollup "crashes" here
+    # a SECOND writer commits the same epoch number before recovery runs
+    # (state-preserving: it re-delivers already-applied events, LWW no-op)
+    # — newest-first epoch lookup would pick ITS commit and diff the
+    # wrong snapshot pair without (query_id, epoch) matching
+    t.merge_upsert(rest.limit(50), epoch_id=1, query_id="other-writer")
+    found = rs._find_epoch_version(1)
+    assert t.manifest(found)["summary"]["query_id"] == "q"
     st1b = t.merge_upsert(rest, epoch_id=1, query_id="q")
     assert st1b.skipped
     rs.sync(rest, 1, st1b)
