@@ -258,6 +258,29 @@ def test_rebucket_between_prepare_and_upsert_recomputes_buckets(spark, tmp_path)
     assert _state(t) == _expected(log)
 
 
+def test_graph_sync_over_mor_table(spark, tmp_path):
+    """Derived-table maintenance composes with merge-on-read: GraphSync's
+    bucket-pruned transcript reads must see the LWW-folded base∪delta
+    state, so the incrementally-maintained edges equal a full rebuild
+    even while the base table is all deltas."""
+    from sql_graph_visualizer_spark.streaming.graph_sync import (
+        GraphSync,
+        derive_conv_edges,
+    )
+
+    t = _table(spark, tmp_path, buckets=8)
+    gs = GraphSync(spark, os.path.join(str(tmp_path), "edges"), t, num_buckets=8)
+    log = gen_cdc_log(spark, 1200, num_convs=10, turns_per_conv=6)
+    for e in range(3):
+        chunk = log.filter((F.col("seq") >= e * 400) & (F.col("seq") < (e + 1) * 400))
+        st = t.merge_upsert(chunk, epoch_id=e, query_id="q", mode="mor")
+        gs.sync(chunk, e, st)
+    cols = ["src", "dst", "rel_type", "conv_id", "turn_idx"]
+    full = sorted(map(tuple, derive_conv_edges(t.read()).select(*cols).collect()))
+    incr = sorted(map(tuple, gs.read().select(*cols).collect()))
+    assert incr == full and len(full) > 0
+
+
 def test_rebucket_racing_inflight_merge_conflicts_then_converges(spark, tmp_path):
     """The other interleaving: rebucket commits AFTER the merge read its
     base manifest → the merge's bucket-token validation fires and

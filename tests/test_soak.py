@@ -117,3 +117,74 @@ def test_soak_sustained_replay_with_concurrent_maintenance(spark, tmp_path):
     before = sorted(map(tuple, table.read().collect()))
     table.expire_snapshots(keep_last=1)
     assert sorted(map(tuple, table.read().collect())) == before
+
+
+def test_soak_mor_replay_with_concurrent_delta_compaction(spark, tmp_path):
+    """Merge-on-read under sustained ingest with the background compactor
+    racing it — the production MoR shape: delta commits land per epoch,
+    ``compact_deltas`` folds them concurrently (yielding to ingest on
+    bucket conflicts), and the final folded state still equals the batch
+    oracle."""
+    n_events, n_files = 4000, 8
+    log = gen_cdc_log(spark, n_events, num_convs=20, turns_per_conv=6)
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=n_files)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=8
+    )
+    outcome = {"compacted": 0, "conflicts": 0, "errors": []}
+    stop = threading.Event()
+
+    def compactor():
+        while not stop.is_set():
+            try:
+                res = table.compact_deltas(min_deltas=2)
+                if res["buckets"]:
+                    outcome["compacted"] += 1
+            except CommitConflictError:
+                outcome["conflicts"] += 1  # ingest won that bucket — rerun later
+            except Exception as ex:  # noqa: BLE001
+                outcome["errors"].append(repr(ex))
+            time.sleep(1.0)
+
+    worker = threading.Thread(target=compactor, daemon=True)
+    worker.start()
+    try:
+        query = replay_stream(
+            spark,
+            log_dir,
+            table,
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            available_now=False,
+            processing_time="250 milliseconds",
+            conflict_retries=6,
+            merge_mode="mor",
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if query.exception() is not None:
+                break
+            if len(query.merge_stats) >= n_files:
+                break
+            time.sleep(0.3)
+        query.stop()
+        query.awaitTermination(30)
+    finally:
+        stop.set()
+        worker.join(timeout=15)
+
+    assert not outcome["errors"], outcome["errors"]
+    # the compactor genuinely raced ingest: it either folded buckets or
+    # lost validation to a concurrent merge (losing IS the designed
+    # behavior under hot ingest — maintenance yields and retries)
+    assert outcome["compacted"] + outcome["conflicts"] >= 1
+    expected = final_state(log, payload_cols=("role", "text", "tool", "ts"))
+    got = table.read()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # final full fold leaves no deltas and preserves state
+    before = sorted(map(tuple, table.read().collect()))
+    table.compact_deltas()
+    m = table.manifest()
+    assert not any((m.get("deltas") or {}).values())
+    assert sorted(map(tuple, table.read().collect())) == before
