@@ -464,13 +464,21 @@ class SnapshotTable:
     def _bucket_expr(self, m: dict[str, Any]) -> Column:
         return F.pmod(F.xxhash64(F.col(m["bucket_col"])), F.lit(m["num_buckets"]))
 
-    def bucket_id(self, col: Column | str | None = None) -> Column:
+    def bucket_id(
+        self, col: Column | str | None = None, manifest: dict[str, Any] | None = None
+    ) -> Column:
         """Public bucket-id expression for THIS table's partitioning —
         callers use it to derive the bucket set a batch touches and pass
         it to ``read(buckets=...)`` (Iceberg partition-pruning analogue).
         ``col`` defaults to the table's bucket column; pass an expression
-        when the bucket value must be derived from other columns."""
-        m = self.manifest()
+        when the bucket value must be derived from other columns.
+
+        ``manifest``: pass the SAME manifest to ``bucket_id`` and the
+        ``read(buckets=..., manifest=...)`` it prunes — resolving the
+        spec twice opens a race where a ``rebucket`` migration commits
+        in between and the bucket ids silently prune the wrong layout
+        (GraphSync/RollupSync pin one manifest per epoch for this)."""
+        m = manifest if manifest is not None else self.manifest()
         c = F.col(col) if isinstance(col, str) else (col if col is not None else F.col(m["bucket_col"]))
         return F.pmod(F.xxhash64(c), F.lit(m["num_buckets"]))
 

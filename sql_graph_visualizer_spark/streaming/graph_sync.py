@@ -130,18 +130,23 @@ class GraphSync:
         # bucket set in each table (≤ num_buckets values — one tiny agg
         # job), so unaffected buckets' files are never opened. The
         # broadcast semi-join below then trims the pruned scan to exactly
-        # the touched conversations.
+        # the touched conversations. Each table's manifest is resolved
+        # ONCE and pinned for both the bucket-id derivation and the
+        # pruned read — a rebucket migration committing between the two
+        # would otherwise prune the new layout with old-spec ids.
+        tm = self.transcripts.manifest()
+        em = self.edges.manifest()
         b = touched.agg(
-            F.collect_set(self.transcripts.bucket_id("conv_id")).alias("tb"),
-            F.collect_set(self.edges.bucket_id("conv_id")).alias("eb"),
+            F.collect_set(self.transcripts.bucket_id("conv_id", manifest=tm)).alias("tb"),
+            F.collect_set(self.edges.bucket_id("conv_id", manifest=em)).alias("eb"),
         ).collect()[0]
         t_buckets = sorted(int(x) for x in b["tb"])
         e_buckets = sorted(int(x) for x in b["eb"]) if self._prune_edges else None
-        state = self.transcripts.read(buckets=t_buckets).join(
+        state = self.transcripts.read(buckets=t_buckets, manifest=tm).join(
             F.broadcast(touched), on="conv_id", how="left_semi"
         )
         new_edges = derive_conv_edges(state)
-        old_edges = self.edges.read(buckets=e_buckets).join(
+        old_edges = self.edges.read(buckets=e_buckets, manifest=em).join(
             F.broadcast(touched), on="conv_id", how="left_semi"
         )
         keys = ["src", "dst", "rel_type"]

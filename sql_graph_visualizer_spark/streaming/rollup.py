@@ -94,10 +94,6 @@ class RollupSync:
         """Apply the epoch's retraction delta to the rollup."""
         touched = batch.select("conv_id").distinct().persist()
         try:
-            b = touched.agg(
-                F.collect_set(self.transcripts.bucket_id("conv_id")).alias("tb")
-            ).collect()[0]
-            t_buckets = sorted(int(x) for x in b["tb"])
             version = int(st.snapshot_version)
             if st.skipped:
                 # crash-recovery window: the DATA epoch already committed
@@ -124,9 +120,20 @@ class RollupSync:
             def slice_at(v):
                 if v is None:
                     return self.spark.createDataFrame([], self.transcripts.schema())
-                return self.transcripts.read(version=int(v), buckets=t_buckets).join(
-                    F.broadcast(touched), on="conv_id", how="left_semi"
-                )
+                # bucket ids must come from THIS version's manifest: the
+                # before/after snapshots can straddle a rebucket
+                # migration, where the two layouts share no bucket
+                # numbering (and resolving the spec separately from the
+                # read races a concurrent migration)
+                vm = self.transcripts.manifest(int(v))
+                vb = touched.agg(
+                    F.collect_set(
+                        self.transcripts.bucket_id("conv_id", manifest=vm)
+                    ).alias("vb")
+                ).collect()[0]
+                return self.transcripts.read(
+                    version=int(v), buckets=sorted(int(x) for x in vb["vb"])
+                ).join(F.broadcast(touched), on="conv_id", how="left_semi")
 
             after = self._counts(slice_at(version)).withColumnRenamed("n", "n_after")
             before = self._counts(slice_at(parent)).withColumnRenamed("n", "n_before")
@@ -144,9 +151,12 @@ class RollupSync:
             # buckets (bucket-pruned) + delta -> new totals, MERGEd with
             # LWW replace; zero totals become tombstones so the rollup
             # never accretes dead buckets
-            rb = delta.agg(F.collect_set(self.table.bucket_id("bucket_start")).alias("bs")).collect()[0]
+            rm = self.table.manifest()  # one resolution for ids AND read
+            rb = delta.agg(
+                F.collect_set(self.table.bucket_id("bucket_start", manifest=rm)).alias("bs")
+            ).collect()[0]
             r_buckets = sorted(int(x) for x in rb["bs"])
-            current = self.table.read(buckets=r_buckets).join(
+            current = self.table.read(buckets=r_buckets, manifest=rm).join(
                 F.broadcast(delta.select("bucket_start")), on="bucket_start", how="left_semi"
             )
             merged = (

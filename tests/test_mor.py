@@ -281,6 +281,50 @@ def test_graph_sync_over_mor_table(spark, tmp_path):
     assert incr == full and len(full) > 0
 
 
+def test_derived_sync_across_rebucket_migration(spark, tmp_path):
+    """GraphSync + RollupSync across a live bucket-spec migration: the
+    migration lands BETWEEN a data merge and its derived-table syncs, so
+    the rollup's time-travel reads (merge snapshot + parent) use the OLD
+    spec while current reads use the NEW one — bucket ids must be
+    derived from each manifest actually read, never from 'current'."""
+    from sql_graph_visualizer_spark.streaming.graph_sync import (
+        GraphSync,
+        derive_conv_edges,
+    )
+    from sql_graph_visualizer_spark.streaming.rollup import RollupSync
+
+    t = _table(spark, tmp_path, buckets=4)
+    gs = GraphSync(spark, os.path.join(str(tmp_path), "edges"), t, num_buckets=8)
+    roll = RollupSync(
+        spark, os.path.join(str(tmp_path), "roll"), t,
+        bucket="hour", source_query_id="q",
+    )
+    log = gen_cdc_log(spark, 1600, num_convs=10, turns_per_conv=6)
+    for e in range(4):
+        chunk = log.filter((F.col("seq") >= e * 400) & (F.col("seq") < (e + 1) * 400))
+        st = t.merge_upsert(chunk, epoch_id=e, query_id="q")
+        if e == 1:
+            t.rebucket(32)  # migration between the merge and its syncs
+        gs.sync(chunk, e, st)
+        roll.sync(chunk, e, st)
+    cols = ["src", "dst", "rel_type", "conv_id", "turn_idx"]
+    full = sorted(map(tuple, derive_conv_edges(t.read()).select(*cols).collect()))
+    incr = sorted(map(tuple, gs.read().select(*cols).collect()))
+    assert incr == full and len(full) > 0
+    expect = sorted(
+        map(
+            tuple,
+            t.read()
+            .filter(F.col("ts").isNotNull())
+            .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+            .agg(F.count("*").alias("n_turns"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, roll.read().collect()))
+    assert got == expect
+
+
 def test_rebucket_racing_inflight_merge_conflicts_then_converges(spark, tmp_path):
     """The other interleaving: rebucket commits AFTER the merge read its
     base manifest → the merge's bucket-token validation fires and
