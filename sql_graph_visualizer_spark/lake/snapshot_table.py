@@ -37,9 +37,9 @@ above it is backend-agnostic:
   bytes written per epoch ∝ |batch|, never ∝ touched-bucket bytes
   (Iceberg v2 merge-on-read / Delta deletion-vector analogue, restated
   as LWW row deltas because this table's MERGE is pure LWW-by-LSN).
-  Reads apply last-writer-wins over base ∪ deltas per key — the same
-  ``compact_lww`` the write path uses — and skip that work entirely for
-  buckets with no deltas. ``compact_deltas()`` is the background
+  Reads apply last-writer-wins over base ∪ deltas per key (``_fold_lww``:
+  fixed-width hash-agg winners + one null-safe keyed join; the payload
+  never sorts) and skip that work entirely for buckets with no deltas. ``compact_deltas()`` is the background
   maintenance job that folds deltas back into the base (conflict-safe
   against concurrent ingest via the same bucket-token validation).
 - **Bucket-count evolution** (``rebucket``): ``num_buckets`` is chosen at
@@ -104,6 +104,27 @@ _DELETED = "_deleted"
 
 def _refs_total_bytes(segments: dict[str, dict[str, Any]]) -> int:
     return sum(int(s.get("bytes", 0)) for s in segments.values())
+
+
+def _fold_lww(staged: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Read-side LWW fold over base ∪ delta rows (merge-on-read).
+
+    The format guarantees ``(key, _seq)`` is UNIQUE across a bucket's
+    base + delta segments (each generation writes a key at most once,
+    LSNs are globally unique), so the winner filter needs no final
+    tie-collapse: a fixed-width ``max(_seq)`` HashAggregate (map-side
+    combined) plus one null-safe keyed equi-join. The payload shuffles
+    once on the keys and is NEVER sorted — ``compact_lww``'s thin
+    ``max_by`` dedupe would compile to a SortAggregate over the whole
+    folded selection here (the plan-shape test asserts it stays out).
+    Key equality must be null-safe: table keys may be NULL and a plain
+    join would silently drop those rows."""
+    winners = staged.groupBy(*key_cols).agg(F.max(_SEQ).alias("__max_seq"))
+    s, w = staged.alias("s"), winners.alias("w")
+    cond = F.col(f"s.{_SEQ}") == F.col("w.__max_seq")
+    for k in key_cols:
+        cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"w.{k}"))
+    return s.join(w, cond).select("s.*")
 
 
 def _physical(schema: T.StructType) -> T.StructType:
@@ -545,9 +566,7 @@ class SnapshotTable:
                 self._entries(m, sorted(delta_b))
                 + self._delta_entries(m, sorted(delta_b)),
             )
-            folded = compact_lww(
-                staged, tuple(m["key_cols"]), _SEQ, broadcast_winner_seqs=False
-            )
+            folded = _fold_lww(staged, list(m["key_cols"]))
             df = self._read_files(m, self._entries(m, plain)).unionByName(folded)
         if system:
             return df

@@ -258,6 +258,22 @@ def test_rebucket_between_prepare_and_upsert_recomputes_buckets(spark, tmp_path)
     assert _state(t) == _expected(log)
 
 
+def test_mor_read_plan_shape(spark, tmp_path):
+    """The MoR fold's plan contract at 100 TB: the payload shuffles on
+    the key columns (hash exchanges) and is NEVER sorted — no
+    SortAggregate (the variable-width-buffer trap), no nested loop, no
+    cartesian. Buckets without deltas must not appear under the fold's
+    aggregation at all (they union in above it)."""
+    t = _table(spark, tmp_path, buckets=8)
+    log = gen_cdc_log(spark, 800, num_convs=10, turns_per_conv=6)
+    t.merge_upsert(log.filter("seq < 400"), epoch_id=0, query_id="q")
+    t.merge_upsert(log.filter("seq >= 400"), epoch_id=1, query_id="q", mode="mor")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # winner max(_seq) per key is hash-based
+
+
 def test_graph_sync_over_mor_table(spark, tmp_path):
     """Derived-table maintenance composes with merge-on-read: GraphSync's
     bucket-pruned transcript reads must see the LWW-folded base∪delta
