@@ -1087,6 +1087,30 @@ class SnapshotTable:
         committed = self._commit_with_rebase(build, -1, "expire", m, validate)
         return committed["version"]
 
+    def delta_stats(self, version: int | None = None) -> dict[str, Any]:
+        """Merge-on-read pressure per bucket, from manifest metadata only
+        (no segment IO): how many delta layers and bytes each bucket
+        carries — the signal a background compaction scheduler triggers
+        on (``compact_deltas(min_deltas=...)``), and the read-overhead
+        observable (a read folds ``layers`` generations per bucket)."""
+        m = self.manifest(version)
+        per_bucket = {
+            b: {
+                "layers": len(refs),
+                "bytes": sum(int(r.get("bytes", 0)) for r in refs),
+                "files": sum(int(r.get("n", 0)) for r in refs),
+            }
+            for b, refs in self._delta_refs(m).items()
+            if refs
+        }
+        return {
+            "buckets_with_deltas": len(per_bucket),
+            "total_layers": sum(v["layers"] for v in per_bucket.values()),
+            "total_bytes": sum(v["bytes"] for v in per_bucket.values()),
+            "max_layers": max((v["layers"] for v in per_bucket.values()), default=0),
+            "per_bucket": per_bucket,
+        }
+
     def compact_deltas(
         self, buckets: list[int] | None = None, min_deltas: int = 1
     ) -> dict[str, int]:

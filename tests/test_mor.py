@@ -258,6 +258,27 @@ def test_rebucket_between_prepare_and_upsert_recomputes_buckets(spark, tmp_path)
     assert _state(t) == _expected(log)
 
 
+def test_delta_stats_drive_compaction(spark, tmp_path):
+    """delta_stats() is the scheduler's trigger signal: layers/bytes per
+    bucket from manifest metadata only, zeroed after a fold."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 900, num_convs=8, turns_per_conv=5)
+    for e in range(3):
+        t.merge_upsert(
+            log.filter((F.col("seq") >= e * 300) & (F.col("seq") < (e + 1) * 300)),
+            epoch_id=e, query_id="q", mode="mor",
+        )
+    s = t.delta_stats()
+    assert s["buckets_with_deltas"] >= 1
+    assert s["max_layers"] == 3  # every epoch layered a delta per touched bucket
+    assert s["total_bytes"] > 0
+    t.compact_deltas(min_deltas=s["max_layers"])  # fold only the hottest buckets
+    s2 = t.delta_stats()
+    assert s2["max_layers"] < 3
+    t.compact_deltas()
+    assert t.delta_stats()["buckets_with_deltas"] == 0
+
+
 def test_mor_read_plan_shape(spark, tmp_path):
     """The MoR fold's plan contract at 100 TB: the payload shuffles on
     the key columns (hash exchanges) and is NEVER sorted — no
