@@ -1008,6 +1008,26 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_api_nodes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 read-API surface: rule-built Customer nodes served through
+    ``GraphQueryResolver.nodesByType`` in the GraphQL wire shape
+    (id / label / properties-as-JSON — schema.resolvers.go:77-108); the
+    label filter and to_json serialization run inside the scan."""
+    from sql_graph_visualizer_spark.api import GraphQueryResolver
+    from sql_graph_visualizer_spark.plans.graph_builder import build_nodes
+
+    c = _read(spark, sf_dir, "customer")
+    rules = [
+        NodeRule(
+            "customers", "customer", "Customer",
+            field_mappings={"c_name": "name"}, id_col="c_custkey", priority=1,
+        )
+    ]
+    nodes = build_nodes({"customer": c}, rules)
+    edges = spark.createDataFrame([], "src string, dst string, rel_type string")
+    return GraphQueryResolver(nodes, edges).nodes_by_type("Customer")
+
+
 def q_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: bounded cartesian pair generation (simple_metrics_injector
     all-pairs demo, i<j)."""
@@ -1408,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot_priority": q_agg_pivot_priority,
         "scalar_date_trunc": q_scalar_date_trunc,
         "cross_region_pairs": q_cross_region_pairs,
+        "api_nodes_by_type": q_api_nodes_by_type,
     }
 
 
@@ -1929,6 +1950,15 @@ FROM events GROUP BY event_type
         "cross_region_pairs": """
 SELECT a.r_name AS a_name, b.r_name AS b_name
 FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
+""",
+        # GraphQL wire shape: properties is the to_json of a single-key
+        # map, reproducible as string concatenation (TPC-H names carry
+        # no JSON-special characters)
+        "api_nodes_by_type": """
+SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS id,
+       'Customer' AS label,
+       '{"name":"' || c_name || '"}' AS properties
+FROM customer
 """,
         "text_profile": r"""
 SELECT doc_id,

@@ -43,6 +43,7 @@ CHILD = textwrap.dedent(
 
     base = {base!r}
     kill_at_epoch = {kill_at_epoch}
+    merge_mode = {merge_mode!r}
     spark = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -74,6 +75,7 @@ CHILD = textwrap.dedent(
     stats = replay_stream(
         spark, log_dir, table, os.path.join(base, "ckpt"),
         max_files_per_trigger=1, lineage=lineage, on_batch=on_batch,
+        merge_mode=merge_mode,
     )
     out = [
         {{"epoch": s.epoch_id, "rows_in": s.rows_in, "skipped": s.skipped}}
@@ -85,10 +87,17 @@ CHILD = textwrap.dedent(
 )
 
 
-def _run_child(base: str, kill_at_epoch: int, tag: str) -> subprocess.CompletedProcess:
+def _run_child(
+    base: str, kill_at_epoch: int, tag: str, merge_mode: str = "cow"
+) -> subprocess.CompletedProcess:
     script = os.path.join(base, f"child_{tag}.py")
     with open(script, "w") as f:
-        f.write(CHILD.format(repo=REPO, base=base, kill_at_epoch=kill_at_epoch, tag=tag))
+        f.write(
+            CHILD.format(
+                repo=REPO, base=base, kill_at_epoch=kill_at_epoch, tag=tag,
+                merge_mode=merge_mode,
+            )
+        )
     env = dict(os.environ)
     env.pop("PYSPARK_GATEWAY_PORT", None)
     env.pop("PYSPARK_GATEWAY_SECRET", None)
@@ -97,17 +106,25 @@ def _run_child(base: str, kill_at_epoch: int, tag: str) -> subprocess.CompletedP
     )
 
 
-def test_sigkill_mid_epoch_restart_is_exactly_once(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_sigkill_mid_epoch_restart_is_exactly_once(spark, tmp_path, merge_mode):
+    """Both merge arms must be exactly-once under the kill: CoW fences a
+    re-delivered bucket rewrite; MoR must NOT append the same epoch's
+    delta segment twice (a double delta would double-mask or duplicate
+    rows only detectable by the oracle comparison below)."""
     base = str(tmp_path)
     # run 1: child SIGKILLs itself right after epoch 1's merge commit
-    p1 = _run_child(base, kill_at_epoch=1, tag="run1")
+    p1 = _run_child(base, kill_at_epoch=1, tag="run1", merge_mode=merge_mode)
     assert p1.returncode == -signal.SIGKILL, p1.stderr[-2000:]
     t = SnapshotTable(spark, os.path.join(base, "table"))
     assert t.last_committed_epoch("cdc-replay") == 1  # epoch 1 DID commit
 
     # run 2: restart from the same checkpoint, no kill — must re-deliver
     # epoch 1 (its checkpoint commit never happened), fence it, and drain
-    p2 = _run_child(base, kill_at_epoch=-1, tag="run2")
+    p2 = _run_child(base, kill_at_epoch=-1, tag="run2", merge_mode=merge_mode)
     assert p2.returncode == 0, p2.stderr[-2000:]
     with open(os.path.join(base, "stats_run2.json")) as f:
         stats2 = json.load(f)

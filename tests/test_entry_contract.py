@@ -24,6 +24,7 @@ SF = "/root/testdata/sf0.001"
 # text/dedup — the full battery runs in the driver at sf0.01
 SAMPLE = [
     "cdc_final_state",
+    "cdc_final_state_mor",
     "cdc_compact_lww",
     "cdc_schema_evolution",
     "cdc_lineage",
