@@ -905,12 +905,20 @@ class SnapshotTable:
 
                 def validate_mor(cur: dict[str, Any]) -> None:
                     # no base rows were read, so concurrent data commits
-                    # never invalidate a delta — only a racing schema
+                    # never invalidate a delta — but a racing schema
                     # evolution does (schema ids are allocated locally, so
-                    # carrying our history over theirs would collide)
+                    # carrying our history over theirs would collide), and
+                    # so does a racing rebucket: these delta files were
+                    # hash-partitioned under OUR spec, and attaching their
+                    # old-numbered bucket refs to the new layout would
+                    # misplace every row for pruned reads
                     if cur["schema_id"] != base_schema_id:
                         raise CommitConflictError(
                             f"concurrent schema evolution on {self.path}"
+                        )
+                    if int(cur["num_buckets"]) != int(m["num_buckets"]):
+                        raise CommitConflictError(
+                            f"concurrent rebucket on {self.path}"
                         )
 
                 committed = self._commit_with_rebase(
@@ -984,10 +992,19 @@ class SnapshotTable:
                     # copy-on-write staleness check: our `existing` read and
                     # schema resolution used the base snapshot — a concurrent
                     # commit to the same buckets (or a schema change) means
-                    # this merge must be recomputed, not rebased
+                    # this merge must be recomputed, not rebased. A racing
+                    # rebucket is checked explicitly: bucket tokens would
+                    # catch it for non-empty buckets, but an insert-only
+                    # epoch into previously-EMPTY buckets (token None on
+                    # both specs) would otherwise slip old-numbered
+                    # segments into the new layout.
                     if cur["schema_id"] != base_schema_id:
                         raise CommitConflictError(
                             f"concurrent schema evolution on {self.path}"
+                        )
+                    if int(cur["num_buckets"]) != int(m["num_buckets"]):
+                        raise CommitConflictError(
+                            f"concurrent rebucket on {self.path}"
                         )
                     for b in affected:
                         if self._bucket_token(cur, b) != base_tokens[b]:
@@ -1050,8 +1067,15 @@ class SnapshotTable:
             return c
 
         # appends commute (no bucket is rewritten) → rebase-and-retry
-        # needs no validation; a raced same-epoch append is fenced
-        committed = self._commit_with_rebase(build, epoch_id, query_id, m)
+        # needs no data validation; a raced same-epoch append is fenced.
+        # The one non-commuting commit is a rebucket: these files were
+        # hash-partitioned under the old spec, so attaching them to the
+        # migrated layout would misplace rows for pruned reads.
+        def validate(cur: dict[str, Any]) -> None:
+            if int(cur["num_buckets"]) != int(m["num_buckets"]):
+                raise CommitConflictError(f"concurrent rebucket on {self.path}")
+
+        committed = self._commit_with_rebase(build, epoch_id, query_id, m, validate)
         return (committed or self.manifest())["version"]
 
     def expire_tombstones(self, older_than_seq: int) -> int:

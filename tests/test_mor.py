@@ -318,6 +318,45 @@ def test_graph_sync_over_mor_table(spark, tmp_path):
     assert incr == full and len(full) > 0
 
 
+def test_rebucket_racing_mor_delta_conflicts_then_converges(spark, tmp_path):
+    """A rebucket that wins the manifest race against an in-flight MoR
+    delta commit MUST conflict it: the delta files were hash-partitioned
+    under the old spec, and attaching their old-numbered bucket refs to
+    the migrated layout would misplace every row for pruned reads. The
+    retried merge re-partitions under the new spec and converges."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 1000, num_convs=12, turns_per_conv=6)
+    t.merge_upsert(log.filter("seq < 500"), epoch_id=0, query_id="q")
+
+    orig = t._write_manifest
+    fired = {"done": False}
+
+    def racy(manifest):
+        if not fired["done"] and manifest.get("summary", {}).get("mode") == "mor":
+            fired["done"] = True
+            t._write_manifest = orig
+            SnapshotTable(t.spark, t.path).rebucket(16)
+        return orig(manifest)
+
+    t._write_manifest = racy
+    st = merge_with_retry(t, log.filter("seq >= 500"), 1, "q", merge_mode="mor")
+    assert not st.skipped and fired["done"]
+    m = t.manifest()
+    assert m["num_buckets"] == 16
+    assert _state(t) == _expected(log)
+    # every delta ref must live under a NEW-spec bucket id whose rows
+    # actually hash there (pruned read finds each updated key)
+    conv = log.select("conv_id").first()[0]
+    b = int(
+        spark.createDataFrame([(conv,)], "conv_id string")
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(16)).alias("b"))
+        .first()["b"]
+    )
+    pruned = t.read(buckets=[b]).filter(F.col("conv_id") == conv)
+    full = t.read().filter(F.col("conv_id") == conv)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
 def test_derived_sync_across_rebucket_migration(spark, tmp_path):
     """GraphSync + RollupSync across a live bucket-spec migration: the
     migration lands BETWEEN a data merge and its derived-table syncs, so
