@@ -27,7 +27,10 @@ from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log
 from sql_graph_visualizer_spark.sources.events_cdc import TRANSCRIPT_SCHEMA
 
 BASE_EVENTS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-NUM_CONVS = 20_000
+NUM_CONVS = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+# updated conversations per epoch — FIXED while the table grows, so the
+# write-amplification ratio scales with table size (the 100 TB shape)
+UPDATE_KEYS = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
 EPOCHS = 4
 SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
@@ -47,10 +50,13 @@ def main() -> None:
     )
     base.write.mode("overwrite").parquet(os.path.join(scratch, "base"))
     base = spark.read.parquet(os.path.join(scratch, "base"))
-    # one small update per conversation -> every bucket touched per epoch
+    # one small update per sampled conversation -> every bucket touched
+    # per epoch (deterministic sample; fixed size as the table grows)
     updates = (
         base.groupBy("conv_id")
         .agg(F.max("seq").alias("seq0"), F.first("turn_idx").alias("turn_idx"))
+        .orderBy("conv_id")
+        .limit(UPDATE_KEYS)
         .withColumn("role", F.lit("user"))
         .withColumn("tool", F.lit(None).cast("string"))
         .withColumn("ts", F.lit(None).cast("timestamp"))
@@ -58,7 +64,12 @@ def main() -> None:
     updates.write.mode("overwrite").parquet(os.path.join(scratch, "upd"))
     updates = spark.read.parquet(os.path.join(scratch, "upd"))
 
-    out: dict = {"base_events": BASE_EVENTS, "num_convs": NUM_CONVS, "epochs": EPOCHS}
+    out: dict = {
+        "base_events": BASE_EVENTS,
+        "num_convs": NUM_CONVS,
+        "update_keys": UPDATE_KEYS,
+        "epochs": EPOCHS,
+    }
     for mode in ("cow", "mor"):
         t = SnapshotTable.create(
             spark, os.path.join(scratch, f"t_{mode}"), TRANSCRIPT_SCHEMA,
