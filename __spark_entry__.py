@@ -1008,6 +1008,15 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-line fraction,
+    top-word / top-bigram fractions) — the post-dedup filter a
+    pretraining pipeline applies; pure explode + hash-agg counting."""
+    from sql_graph_visualizer_spark.operators.text import repetition_profile
+
+    return repetition_profile(_read(spark, sf_dir, "documents"))
+
+
 def q_api_nodes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 read-API surface: rule-built Customer nodes served through
     ``GraphQueryResolver.nodesByType`` in the GraphQL wire shape
@@ -1429,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_date_trunc": q_scalar_date_trunc,
         "cross_region_pairs": q_cross_region_pairs,
         "api_nodes_by_type": q_api_nodes_by_type,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1959,6 +1969,48 @@ SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS id,
        'Customer' AS label,
        '{"name":"' || c_name || '"}' AS properties
 FROM customer
+""",
+        # Gopher-style repetition signals: duplicate-line fraction via
+        # list dedup; top word/bigram fractions via unnest + count —
+        # bigram lists built with the same 1-based list arithmetic as
+        # Spark's transform(sequence(...))
+        "text_repetition": r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+lf AS (
+  SELECT doc_id,
+         round(1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+           AS dup_line_frac
+  FROM d
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+  WHERE w <> '' GROUP BY 1, 2
+),
+wf AS (
+  SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_word_frac
+  FROM wc GROUP BY 1
+),
+bc AS (
+  SELECT doc_id, b, count(*) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+    FROM d
+  )
+  WHERE b <> '' GROUP BY 1, 2
+),
+bf AS (
+  SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_frac
+  FROM bc GROUP BY 1
+)
+SELECT lf.doc_id, lf.dup_line_frac, wf.top_word_frac, bf.top_bigram_frac
+FROM lf LEFT JOIN wf USING (doc_id) LEFT JOIN bf USING (doc_id)
 """,
         "text_profile": r"""
 SELECT doc_id,

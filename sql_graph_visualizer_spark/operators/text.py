@@ -125,6 +125,57 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------- SQL-digest analysis
 
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-
+    line fraction, most-frequent-word fraction, most-frequent-bigram
+    fraction — the standard filters a pretraining pipeline applies after
+    exact/near dedup (repetitive boilerplate survives MinHash because it
+    is only SELF-similar).
+
+    Scale shape: the line metric is pure array expressions at scan
+    speed; the word/bigram metrics explode tokens and hash-aggregate
+    counts per (doc, gram) — fixed-width buffers, map-side combined,
+    shuffling (doc_id, gram-hash) rows only, never the documents.
+    Bigram lists are built with a transform() HOF — interpreted per ROW,
+    but over ≤ a few thousand array slots per doc, not per token scan
+    (the explode/agg does the heavy counting JVM-side)."""
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws"),
+    )
+    line_stats = base.select(
+        "doc_id",
+        F.round(
+            1 - F.size(F.array_distinct("lines")) / F.size("lines"), 6
+        ).alias("dup_line_frac"),
+    )
+
+    def top_frac(grams: F.Column, name: str) -> DataFrame:
+        g = base.select("doc_id", F.explode(grams).alias("g")).filter(F.col("g") != "")
+        counts = g.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+        return counts.groupBy("doc_id").agg(
+            F.round(F.max("n") / F.sum("n"), 6).alias(name)
+        )
+
+    # guard: Spark sequence(1, 0) counts DOWN ([1, 0]) instead of being
+    # empty — a 1-word doc must yield no bigrams, not an invalid index
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        line_stats.join(top_frac(F.col("ws"), "top_word_frac"), "doc_id", "left")
+        .join(top_frac(bigrams, "top_bigram_frac"), "doc_id", "left")
+    )
+    return out.select("doc_id", "dup_line_frac", "top_word_frac", "top_bigram_frac")
+
+
 SQL_TABLE_PATTERN = r"(?i)(?:FROM|INTO|UPDATE|JOIN)\s+([a-zA-Z_][a-zA-Z_0-9]*)"
 
 

@@ -85,6 +85,33 @@ def test_simhash_portable_exact_copies(spark):
     assert sum(found.get((i, i + 100000)) == 0 for i in range(40)) == 40
 
 
+def test_repetition_profile_signals(spark):
+    """Gopher-style repetition metrics: exact fractions on constructed
+    docs, including the 1-word bigram edge (Spark sequence(1,0) counts
+    DOWN — guarded)."""
+    from sql_graph_visualizer_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b\na b a b\nunique line"),  # dup lines + repeated grams
+            (2, "all words differ here now"),
+            (3, "solo"),  # 1 word: no bigrams
+            (4, "  "),  # blank: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 1: 3 lines, 2 distinct -> 1/3; words: a=4,b=4 of 10 -> 0.4;
+    # bigrams: "a b"=4 ("a b a b\na b a b..." word seq a b a b a b a b unique line) of 9 -> 0.444444
+    assert rows[1].dup_line_frac == round(1 - 2 / 3, 6)
+    assert rows[1].top_word_frac == 0.4
+    assert rows[1].top_bigram_frac == round(4 / 9, 6)
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[2].top_word_frac == 0.2
+    assert rows[3].top_bigram_frac is None  # no bigrams in a 1-word doc
+
+
 def test_bucket_cap_bounds_degenerate_corpus(spark):
     """The LSH explosion guard (VERDICT r3 #6): 10k byte-identical docs
     collapse into ONE bucket per band — uncapped, that is ~5·10⁷
