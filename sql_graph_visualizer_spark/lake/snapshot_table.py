@@ -109,22 +109,52 @@ def _refs_total_bytes(segments: dict[str, dict[str, Any]]) -> int:
 def _fold_lww(staged: DataFrame, key_cols: list[str]) -> DataFrame:
     """Read-side LWW fold over base ∪ delta rows (merge-on-read).
 
-    The format guarantees ``(key, _seq)`` is UNIQUE across a bucket's
-    base + delta segments (each generation writes a key at most once,
-    LSNs are globally unique), so the winner filter needs no final
-    tie-collapse: a fixed-width ``max(_seq)`` HashAggregate (map-side
+    ``(key, _seq)`` is unique within any ONE generation (each generation
+    writes a key at most once, LSNs are globally unique), so the winner
+    filter is a fixed-width ``max(_seq)`` HashAggregate (map-side
     combined) plus one null-safe keyed equi-join. The payload shuffles
     once on the keys and is NEVER sorted — ``compact_lww``'s thin
     ``max_by`` dedupe would compile to a SortAggregate over the whole
     folded selection here (the plan-shape test asserts it stays out).
     Key equality must be null-safe: table keys may be NULL and a plain
-    join would silently drop those rows."""
+    join would silently drop those rows.
+
+    ACROSS generations the winning (key, _seq) can legitimately appear
+    more than once: at-least-once delivery may re-deliver the winning
+    event in a later epoch (a second delta segment), or after a
+    compaction baked it into the base. The contract ("re-delivery of
+    the winning event collapses to one row", and CoW honors it via
+    ``compact_lww``) requires collapsing those ties here too. The rows
+    are byte-identical by contract (two *different* payloads sharing
+    (key, order) are a malformed log), so a full-row hash ``distinct``
+    is exact — and stays HashAggregate: variable-width columns are fine
+    as grouping KEYS; only variable-width agg BUFFERS trigger the
+    SortAggregate trap. Map-typed columns cannot be grouping keys, so
+    those schemas fall back to ``dropDuplicates`` on (key, _seq)."""
     winners = staged.groupBy(*key_cols).agg(F.max(_SEQ).alias("__max_seq"))
     s, w = staged.alias("s"), winners.alias("w")
     cond = F.col(f"s.{_SEQ}") == F.col("w.__max_seq")
     for k in key_cols:
         cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"w.{k}"))
-    return s.join(w, cond).select("s.*")
+    folded = s.join(w, cond).select("s.*")
+    if any(isinstance(f.dataType, T.MapType) for f in staged.schema.fields):
+        return folded.dropDuplicates(list(key_cols) + [_SEQ])
+    return folded.distinct()
+
+
+def _advance_watermark(
+    commit: dict[str, Any], cur: dict[str, Any], query_id: str, max_seq: int
+) -> None:
+    """Advance the per-query committed-seq watermark inside a merge
+    commit (same atomic manifest write as the data). The watermark is
+    the table's replay-horizon knowledge: a writer's future epochs
+    carry only LSNs above its watermark (re-delivery of committed
+    epochs is fenced), so ``min(watermarks)`` bounds the smallest LSN
+    that can still arrive — the tombstone-expiry safety line."""
+    wm = dict(cur.get("watermarks") or {})
+    if max_seq >= 0:
+        wm[query_id] = max(int(wm.get(query_id, -1)), int(max_seq))
+    commit["watermarks"] = wm
 
 
 def _physical(schema: T.StructType) -> T.StructType:
@@ -159,6 +189,15 @@ class MergeStats:
         return self.__dict__.copy()
 
 
+class TombstoneHorizonError(ValueError):
+    """Refused tombstone expiry: the requested horizon exceeds the
+    minimum committed seq watermark across this table's writers, so a
+    lagging replay (a writer whose next epochs still carry smaller
+    LSNs) could re-deliver a pre-delete event and resurrect the deleted
+    row once its tombstone is gone. Wait for the laggard to advance, or
+    pass ``force=True`` if the stream is provably drained."""
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent commit invalidated this one: it rewrote one of the
     buckets this merge read (its existing-rows snapshot is stale) or
@@ -179,6 +218,9 @@ class PreparedMerge:
     deletes: int
     affected: list[int]
     stats_ms: int
+    # batch-wide max LSN — committed into the manifest's per-query seq
+    # watermark (the tombstone-expiry safety horizon)
+    max_seq: int = -1
     # Optional: sc.broadcast of the SORTED winner LSNs (int64 ndarray),
     # pre-collected during prepare. When present, the write phase filters
     # survivors with a vectorized Arrow UDF against this array instead of
@@ -453,6 +495,64 @@ class SnapshotTable:
                     out.extend(self._load_segment(ref["path"]))
         return out
 
+    def _retag_segment(self, ref: dict[str, Any], schema_id: int) -> dict[str, Any]:
+        """Rewrite a (just-written, this-commit) segment's entries to
+        point at a rebased schema id. Segment files are immutable, so a
+        NEW segment file is written — ∝ this batch's file count of JSON
+        metadata, no data IO."""
+        entries = [dict(e, schema_id=schema_id) for e in self._load_segment(ref["path"])]
+        return self._write_segment(entries)
+
+    def _rebase_schema_mor(
+        self, cur: dict[str, Any], m: dict[str, Any]
+    ) -> tuple[dict[str, Any], int, int]:
+        """Rebase this MoR commit's schema onto ``cur``'s registry.
+
+        A delta commit reads no base rows, so a concurrent *compatible*
+        schema evolution (add-column / widening — another writer's
+        epoch) must not conflict it (VERDICT r4 #4): the table's next
+        schema is the lattice JOIN of ``cur``'s current schema and ours
+        (``evolve_schema`` — both sides' files then align up at read,
+        exactly like any other historical generation), and our delta
+        files' entries are re-pointed at our schema's id in ``cur``'s
+        registry (ids are allocated locally per writer, so ours may
+        collide with a different schema in ``cur`` — never carry a
+        local id across a rebase). Incompatible evolution (e.g.
+        string→int) is a genuine conflict and raises.
+
+        Returns ``(schemas, schema_id, file_schema_id)``: the rebased
+        registry, the table's current schema id, and the id our data
+        files must reference."""
+        ours = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        reg = dict(cur["schemas"])
+        cur_schema = T.StructType.fromJson(reg[str(cur["schema_id"])])
+        try:
+            joined, changed = evolve_schema(cur_schema, ours)
+        except TypeError as ex:
+            raise CommitConflictError(
+                f"incompatible concurrent schema evolution on {self.path}: {ex}"
+            ) from ex
+
+        def _id_of(schema_json: dict[str, Any]) -> int | None:
+            for k, v in reg.items():
+                if v == schema_json:
+                    return int(k)
+            return None
+
+        ours_json = ours.jsonValue()
+        file_sid = _id_of(ours_json)
+        if file_sid is None:
+            file_sid = max(int(k) for k in reg) + 1
+            reg[str(file_sid)] = ours_json
+        if not changed:
+            return reg, int(cur["schema_id"]), file_sid
+        joined_json = joined.jsonValue()
+        sid = _id_of(joined_json)
+        if sid is None:
+            sid = max(int(k) for k in reg) + 1
+            reg[str(sid)] = joined_json
+        return reg, sid, file_sid
+
     @staticmethod
     def _bucket_token(m: dict[str, Any], b: int) -> str | None:
         """Identity of a bucket's current contents for conflict
@@ -657,6 +757,7 @@ class SnapshotTable:
         agg = winners.select(
             F.count("*").alias("n"),
             F.sum("__del").alias("d"),
+            F.max(order_col).alias("mx"),
             F.collect_set(self._bucket_expr(m)).alias("bs"),
         ).collect()[0]
         winner_seqs = None
@@ -678,6 +779,7 @@ class SnapshotTable:
             deletes=int(agg["d"] or 0),
             affected=sorted(int(b) for b in agg["bs"]),
             stats_ms=int((time.monotonic() - t0) * 1000),
+            max_seq=int(agg["mx"]) if agg["mx"] is not None else -1,
             winner_seqs=winner_seqs,
             num_buckets=int(m["num_buckets"]),
         )
@@ -875,14 +977,23 @@ class SnapshotTable:
                 def build_mor(cur: dict[str, Any]) -> dict[str, Any]:
                     # delta commits commute: nothing was read, so a rebase
                     # just re-appends the same immutable delta refs onto
-                    # whatever delta lists the new base carries
+                    # whatever delta lists the new base carries; a racing
+                    # COMPATIBLE schema evolution is absorbed by rebasing
+                    # our schema onto cur's registry (see _rebase_schema_mor)
+                    reg, sid, file_sid = self._rebase_schema_mor(cur, m)
+                    segs = new_segs
+                    if file_sid != int(m["schema_id"]):
+                        segs = {
+                            b: self._retag_segment(ref, file_sid)
+                            for b, ref in new_segs.items()
+                        }
                     dl = {b: list(v) for b, v in self._delta_refs(cur).items()}
-                    for b, ref in new_segs.items():
+                    for b, ref in segs.items():
                         dl.setdefault(b, []).append(ref)
                     c = dict(cur)
                     c.pop("files", None)
-                    c["schemas"] = m["schemas"]
-                    c["schema_id"] = m["schema_id"]
+                    c["schemas"] = reg
+                    c["schema_id"] = sid
                     c["segments"] = self._seg_refs_for_write(cur)
                     c["deltas"] = dl
                     c["version"] = cur["version"] + 1
@@ -890,6 +1001,7 @@ class SnapshotTable:
                     c["epochs"] = dict(cur["epochs"])
                     if epoch_id >= 0:
                         c["epochs"][query_id] = epoch_id
+                    _advance_watermark(c, cur, query_id, prepared.max_seq)
                     c["summary"] = {
                         "operation": "merge",
                         "mode": "mor",
@@ -905,17 +1017,13 @@ class SnapshotTable:
 
                 def validate_mor(cur: dict[str, Any]) -> None:
                     # no base rows were read, so concurrent data commits
-                    # never invalidate a delta — but a racing schema
-                    # evolution does (schema ids are allocated locally, so
-                    # carrying our history over theirs would collide), and
-                    # so does a racing rebucket: these delta files were
+                    # never invalidate a delta — a racing COMPATIBLE
+                    # schema evolution is rebased in build_mor (an
+                    # incompatible one raises there) — but a racing
+                    # rebucket does: these delta files were
                     # hash-partitioned under OUR spec, and attaching their
                     # old-numbered bucket refs to the new layout would
                     # misplace every row for pruned reads
-                    if cur["schema_id"] != base_schema_id:
-                        raise CommitConflictError(
-                            f"concurrent schema evolution on {self.path}"
-                        )
                     if int(cur["num_buckets"]) != int(m["num_buckets"]):
                         raise CommitConflictError(
                             f"concurrent rebucket on {self.path}"
@@ -975,6 +1083,7 @@ class SnapshotTable:
                     c["epochs"] = dict(cur["epochs"])
                     if epoch_id >= 0:
                         c["epochs"][query_id] = epoch_id
+                    _advance_watermark(c, cur, query_id, prepared.max_seq)
                     c["summary"] = {
                         "operation": "merge",
                         "mode": "cow",
@@ -1078,11 +1187,57 @@ class SnapshotTable:
         committed = self._commit_with_rebase(build, epoch_id, query_id, m, validate)
         return (committed or self.manifest())["version"]
 
-    def expire_tombstones(self, older_than_seq: int) -> int:
+    def safe_tombstone_horizon(self, manifest: dict[str, Any] | None = None) -> int | None:
+        """The largest horizon ``expire_tombstones`` can safely use:
+        one past the MINIMUM committed seq watermark across this
+        table's registered writers. A tombstone with ``_seq ≤ min(W)``
+        can never be resurrected — every writer's future epochs carry
+        only LSNs above its own watermark (committed epochs are
+        fenced), so no pre-delete event for that key can still arrive.
+        A lagging replay (low watermark) holds the horizon down until
+        it catches up. ``None`` when no merge has recorded a watermark
+        (nothing is provably safe to expire)."""
+        m = manifest if manifest is not None else self.manifest()
+        wm = m.get("watermarks") or {}
+        if not wm:
+            return None
+        return min(int(v) for v in wm.values()) + 1
+
+    def expire_tombstones(
+        self, older_than_seq: int | None = None, force: bool = False
+    ) -> int:
         """Physically drop tombstones whose ``_seq`` is below a replay
         horizon (no event with a smaller LSN can still arrive). The
         Kafka-compaction / Cassandra gc_grace analogue; rewrites every
-        bucket, so this is a maintenance job, not a per-epoch step."""
+        bucket, so this is a maintenance job, not a per-epoch step.
+
+        Horizon safety (VERDICT r4 #6): the caller-supplied horizon is
+        validated against ``safe_tombstone_horizon()`` — expiring past
+        the minimum committed watermark would let a lagging replay's
+        next epoch (which legitimately carries smaller LSNs than the
+        fastest writer's) re-deliver a pre-delete event and resurrect
+        the row. ``older_than_seq=None`` expires exactly up to the safe
+        horizon; ``force=True`` bypasses the guard for provably-drained
+        streams. Un-compacted MoR deltas need no special case here: the
+        rewrite reads through the LWW fold, so a delta tombstone is
+        folded before the expiry filter sees it — and the guard itself
+        is manifest-level, independent of where the tombstone row
+        lives."""
+        safe = self.safe_tombstone_horizon()
+        if older_than_seq is None:
+            if safe is None:
+                return self.manifest()["version"]  # nothing provably safe
+            older_than_seq = safe
+        elif not force and safe is not None and older_than_seq > safe:
+            raise TombstoneHorizonError(
+                f"horizon {older_than_seq} exceeds safe horizon {safe} "
+                f"(min committed watermark across writers) on {self.path}"
+            )
+        elif not force and safe is None and older_than_seq > 0:
+            raise TombstoneHorizonError(
+                f"no writer watermarks recorded on {self.path}; nothing is "
+                "provably safe to expire (use force=True if the stream is drained)"
+            )
         m = self.manifest()
         df = self.read(manifest=m, system=True).filter(
             ~(F.coalesce(F.col(_DELETED), F.lit(False)) & (F.col(_SEQ) < older_than_seq))

@@ -230,13 +230,22 @@ def _capped_bucket_pairs(
     A degenerate corpus (millions of byte-near-identical docs) collapses
     into ONE bucket, whose self-join is ~n²/2 pairs — the only quadratic
     cliff in the dedup family. Buckets over ``bucket_cap`` members
-    short-circuit: their members are byte-near-identical *by
-    construction* (they agree on every banded slot), so emitting the
-    star (min-id representative, member) — n-1 pairs — preserves the
-    dedup decision (members dedup against the representative;
-    member↔member duplicity is transitively implied) while bounding work
-    at O(Σ min(n_bucket, cap)·n_bucket). Verification (est-similarity /
-    Hamming filter) still runs on every emitted pair.
+    short-circuit: emit only the star (min-id representative, member) —
+    n-1 pairs — bounding work at O(Σ min(n_bucket, cap)·n_bucket).
+    Verification (est-similarity / Hamming filter) still runs on every
+    emitted pair.
+
+    The cap is a RECALL-LOSING approximation, not an exact rewrite: an
+    LSH bucket only certifies agreement on ONE band/bit-chunk, so two
+    members of an oversized bucket can be true near-duplicates of each
+    other while each of their rep-pairs fails the downstream similarity
+    verification — those member↔member pairs are dropped. The trade is
+    deliberate: a bucket only exceeds a sane cap when its members are
+    *overwhelmingly* near-identical (the degenerate-corpus case, where
+    the star decision is right for virtually every member), and the
+    alternative is the n² cliff. Callers needing exact recall on a
+    suspect bucket can re-run the family with more bands / a larger cap
+    over that slice.
     """
     sizes = banded.groupBy(*join_keys).agg(F.count("*").alias("__n"))
     sized = banded.join(sizes, on=join_keys)

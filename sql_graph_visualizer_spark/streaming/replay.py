@@ -74,6 +74,40 @@ def merge_with_retry(
     raise AssertionError("unreachable")
 
 
+def maybe_compact_deltas(
+    table: SnapshotTable, max_layers: int, pool=None
+) -> dict[str, int] | None:
+    """The merge-on-read maintenance POLICY (VERDICT r4 #2): when any
+    bucket's delta stack reaches ``max_layers``, fold exactly those
+    buckets. The trigger reads only manifest metadata
+    (``delta_stats()`` — O(buckets) arithmetic, no file IO), so calling
+    it once per epoch is free; the fold itself costs ∝ the folded
+    buckets' bytes and yields to concurrent ingest (bucket-token
+    validation — a conflict is swallowed here and simply re-triggers
+    next epoch, because the layer count is still over threshold).
+
+    ``pool``: a ``ThreadPoolExecutor`` to run the fold OFF the ingest
+    path (ingest never pauses; safe concurrently — a MoR delta commit
+    rebases over a compaction, and a compaction racing a merge loses
+    its token validation and yields). Without a pool the fold runs
+    inline, which gives the hard invariant ``max_layers ≤ threshold``
+    at every epoch boundary (each epoch adds at most one layer per
+    bucket)."""
+    if table.delta_stats()["max_layers"] < max_layers:
+        return None
+
+    def _run() -> dict[str, int] | None:
+        try:
+            return table.compact_deltas(min_deltas=max_layers)
+        except CommitConflictError:
+            return None  # ingest won the race; next epoch re-triggers
+
+    if pool is not None:
+        pool.submit(_run)
+        return None
+    return _run()
+
+
 def replay_stream(
     spark: SparkSession,
     log_dir: str,
@@ -89,6 +123,7 @@ def replay_stream(
     conflict_retries: int = 2,
     fmt: str = "parquet",
     merge_mode: str = "cow",
+    auto_compact_layers: int | None = None,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -122,6 +157,13 @@ def replay_stream(
             lineage.record(st, query_id=query_id)
         if on_batch is not None:
             on_batch(batch, int(epoch_id), st)
+        if auto_compact_layers is not None and merge_mode == "mor":
+            # per-epoch maintenance hook: delta layers stay bounded for
+            # the whole run instead of relying on an operator to remember
+            # compact_deltas() (unbounded layer growth = unbounded read
+            # amplification). Inline (not async) inside foreachBatch:
+            # the micro-batch cadence IS the maintenance cadence here.
+            maybe_compact_deltas(table, auto_compact_layers)
 
     stream = read_cdc_stream(spark, log_dir, max_files_per_trigger, fmt=fmt)
     writer = stream.writeStream.foreachBatch(apply_batch).option(
@@ -156,6 +198,8 @@ def replay_batch(
     conflict_retries: int = 2,
     prefetch_seqs: bool = False,
     merge_mode: str = "cow",
+    auto_compact_layers: int | None = None,
+    auto_compact_async: bool = False,
 ) -> list[MergeStats]:
     """Bounded batch replay: split the log into ``epochs`` contiguous seq
     ranges and merge them in order — the deterministic, driver-friendly
@@ -200,31 +244,47 @@ def replay_batch(
     stats: list[MergeStats] = []
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        nxt = None
-        if pipeline:
-            nxt = pool.submit(
-                table.merge_prepare, chunk_of(0), order_col=order_col, collect_seqs=prefetch_seqs
-            )
-        for e in range(epochs):
-            chunk = chunk_of(e)
-            prepared = nxt.result() if nxt is not None else None
-            nxt = (
-                pool.submit(
-                    table.merge_prepare, chunk_of(e + 1), order_col=order_col,
-                    collect_seqs=prefetch_seqs,
+    compact_pool = (
+        ThreadPoolExecutor(max_workers=1)
+        if auto_compact_layers is not None and auto_compact_async
+        else None
+    )
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = None
+            if pipeline:
+                nxt = pool.submit(
+                    table.merge_prepare, chunk_of(0), order_col=order_col, collect_seqs=prefetch_seqs
                 )
-                if pipeline and e + 1 < epochs
-                else None
-            )
-            st = merge_with_retry(
-                table, chunk, e, query_id,
-                conflict_retries=conflict_retries, prepared=prepared,
-                merge_mode=merge_mode,
-            )
-            stats.append(st)
-            if lineage is not None:
-                lineage.record(st, query_id=query_id)
+            for e in range(epochs):
+                chunk = chunk_of(e)
+                prepared = nxt.result() if nxt is not None else None
+                nxt = (
+                    pool.submit(
+                        table.merge_prepare, chunk_of(e + 1), order_col=order_col,
+                        collect_seqs=prefetch_seqs,
+                    )
+                    if pipeline and e + 1 < epochs
+                    else None
+                )
+                st = merge_with_retry(
+                    table, chunk, e, query_id,
+                    conflict_retries=conflict_retries, prepared=prepared,
+                    merge_mode=merge_mode,
+                )
+                stats.append(st)
+                if lineage is not None:
+                    lineage.record(st, query_id=query_id)
+                if auto_compact_layers is not None and merge_mode == "mor":
+                    # maintenance hook (see maybe_compact_deltas): async
+                    # keeps ingest moving while the fold runs off-path; a
+                    # conflict (fold raced a merge) is swallowed and the
+                    # still-over-threshold layer count re-triggers next
+                    # epoch
+                    maybe_compact_deltas(table, auto_compact_layers, pool=compact_pool)
+    finally:
+        if compact_pool is not None:
+            compact_pool.shutdown(wait=True)
     if lineage is not None:
         lineage.flush()
     return stats

@@ -106,7 +106,175 @@ def _run_child(
     )
 
 
+CHILD_SYNC = textwrap.dedent(
+    """
+    import json, os, signal, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
+    from sql_graph_visualizer_spark.sources.cdc_gen import gen_cdc_log, write_cdc_log_dir
+    from sql_graph_visualizer_spark.sources.events_cdc import TRANSCRIPT_SCHEMA
+    from sql_graph_visualizer_spark.streaming.graph_sync import GraphSync
+    from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+    from sql_graph_visualizer_spark.streaming.replay import replay_stream
+    from sql_graph_visualizer_spark.streaming.rollup import RollupSync
+
+    base = {base!r}
+    kill_at_epoch = {kill_at_epoch}
+    kill_point = {kill_point!r}
+    merge_mode = {merge_mode!r}
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    log_dir = os.path.join(base, "log")
+    if not os.path.isdir(log_dir):
+        log = gen_cdc_log(spark, 2400, num_convs=10, turns_per_conv=8)
+        write_cdc_log_dir(log, log_dir, num_files=6)
+    tpath = os.path.join(base, "table")
+    if SnapshotTable.exists(tpath):
+        table = SnapshotTable(spark, tpath)
+    else:
+        table = SnapshotTable.create(
+            spark, tpath, TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "turn_idx"], num_buckets=8,
+        )
+    gs = GraphSync(spark, os.path.join(base, "edges"), table, num_buckets=8)
+    roll = RollupSync(
+        spark, os.path.join(base, "rollup"), table,
+        bucket="hour", source_query_id="cdc-replay",
+    )
+    lineage = LineageRecorder(spark, os.path.join(base, "lineage"), flush_every=1)
+
+    def on_batch(batch, epoch_id, st):
+        # the transcript MERGE has committed; the derived tables have
+        # not — SIGKILL here is the cross-table atomicity window
+        if kill_point == "before_sync" and epoch_id == kill_at_epoch:
+            os.kill(os.getpid(), signal.SIGKILL)
+        st_g = gs.sync(batch, epoch_id, st)
+        lineage.record(st_g, query_id="graph-sync")
+        # GraphSync committed, RollupSync has not: the half-synced window
+        if kill_point == "between_syncs" and epoch_id == kill_at_epoch:
+            os.kill(os.getpid(), signal.SIGKILL)
+        st_r = roll.sync(batch, epoch_id, st)
+        lineage.record(st_r, query_id="rollup-sync")
+
+    stats = replay_stream(
+        spark, log_dir, table, os.path.join(base, "ckpt"),
+        max_files_per_trigger=1, lineage=lineage, on_batch=on_batch,
+        merge_mode=merge_mode,
+    )
+    out = [
+        {{"epoch": s.epoch_id, "rows_in": s.rows_in, "skipped": s.skipped}}
+        for s in stats
+    ]
+    with open(os.path.join(base, "stats_{tag}.json"), "w") as f:
+        json.dump(out, f)
+    """
+)
+
+
+def _run_sync_child(
+    base: str, kill_at_epoch: int, tag: str, kill_point: str, merge_mode: str
+) -> subprocess.CompletedProcess:
+    script = os.path.join(base, f"child_{tag}.py")
+    with open(script, "w") as f:
+        f.write(
+            CHILD_SYNC.format(
+                repo=REPO, base=base, kill_at_epoch=kill_at_epoch, tag=tag,
+                kill_point=kill_point, merge_mode=merge_mode,
+            )
+        )
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    return subprocess.run(
+        [sys.executable, script], env=env, capture_output=True, text=True, timeout=420
+    )
+
+
 import pytest
+
+
+@pytest.mark.parametrize(
+    "merge_mode,kill_point",
+    [("cow", "before_sync"), ("mor", "between_syncs")],
+)
+def test_sigkill_between_data_and_derived_commits_converges(
+    spark, tmp_path, merge_mode, kill_point
+):
+    """Cross-table sync atomicity (VERDICT r4 #7): transcripts and the
+    derived edge/rollup tables commit SEPARATELY, so a crash can land
+    after the data commit but before (or between) the derived commits.
+    The epoch fence makes each derived table catch up independently on
+    restart: the re-delivered epoch is a fenced no-op on the transcript
+    table, GraphSync recomputes the touched slice against the current
+    state, RollupSync time-travels to the ORIGINAL commit's snapshot
+    pair via the (query_id, epoch) manifest summary. Both kill points ×
+    both merge arms converge to the full-rebuild oracles with exactly
+    one committed lineage row per epoch per table."""
+    base = str(tmp_path)
+    p1 = _run_sync_child(
+        base, kill_at_epoch=2, tag="run1", kill_point=kill_point, merge_mode=merge_mode
+    )
+    assert p1.returncode == -signal.SIGKILL, p1.stderr[-2000:]
+    t = SnapshotTable(spark, os.path.join(base, "table"))
+    assert t.last_committed_epoch("cdc-replay") == 2  # the data commit landed
+    edges = SnapshotTable(spark, os.path.join(base, "edges"))
+    # the kill really hit the half-synced window
+    expected_edge_epoch = 1 if kill_point == "before_sync" else 2
+    assert edges.last_committed_epoch("graph-sync") == expected_edge_epoch
+    rollup = SnapshotTable(spark, os.path.join(base, "rollup"))
+    assert rollup.last_committed_epoch("rollup-sync") == 1
+
+    p2 = _run_sync_child(
+        base, kill_at_epoch=-1, tag="run2", kill_point=kill_point, merge_mode=merge_mode
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+
+    # transcripts equal the batch oracle
+    log = gen_cdc_log(spark, 2400, num_convs=10, turns_per_conv=8)
+    expected = sorted(map(tuple, final_state(log, payload_cols=("text",)).collect()))
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.read().select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == expected
+
+    # derived tables equal full rebuilds from the final state
+    from sql_graph_visualizer_spark.streaming.graph_sync import derive_conv_edges
+
+    cols = ["src", "dst", "rel_type", "conv_id", "turn_idx"]
+    full_edges = sorted(
+        map(tuple, derive_conv_edges(t.read()).select(*cols).collect())
+    )
+    incr_edges = sorted(map(tuple, edges.read().select(*cols).collect()))
+    assert incr_edges == full_edges and len(full_edges) > 0
+    full_roll = sorted(
+        map(
+            tuple,
+            t.read()
+            .filter(F.col("ts").isNotNull())
+            .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+            .agg(F.count("*").alias("n_turns"))
+            .collect(),
+        )
+    )
+    got_roll = sorted(map(tuple, rollup.read().collect()))
+    assert got_roll == full_roll
+
+    # exactly one committed lineage row per epoch per table
+    lin = LineageRecorder(spark, os.path.join(base, "lineage")).read()
+    for qid in ("cdc-replay", "graph-sync", "rollup-sync"):
+        per_epoch = (
+            lin.filter(f"query_id = '{qid}' AND NOT skipped")
+            .groupBy("epoch_id").agg(F.count("*").alias("n")).collect()
+        )
+        assert sorted(int(r.epoch_id) for r in per_epoch) == [0, 1, 2, 3, 4, 5], qid
+        assert all(r.n == 1 for r in per_epoch), qid
 
 
 @pytest.mark.parametrize("merge_mode", ["cow", "mor"])

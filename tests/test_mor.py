@@ -141,6 +141,33 @@ def test_mor_deletes_epoch_fence_and_system_rows(spark, tmp_path):
     assert t.read().count() == before - 3
 
 
+def test_mor_cross_epoch_redelivery_collapses(spark, tmp_path):
+    """At-least-once delivery across epoch boundaries: the same winning
+    (key, seq) event re-delivered in a LATER epoch lands in a second
+    delta segment — and, after a compaction, again over the base — so
+    the winning (key, _seq) exists in two generations. The merge
+    contract ('re-delivery of the winning event collapses to one row')
+    is honored by CoW via compact_lww; the MoR read fold must collapse
+    the tie too, and compact_deltas must not bake the duplicate into
+    the base (ADVICE r4: _fold_lww returned both tied rows)."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 400, num_convs=6, turns_per_conv=5)
+    # tail slice: for every key it contains, its per-key max IS the
+    # global winner (global max ≥ 350 ⇒ the winning event is in the slice)
+    winning = log.filter("seq >= 350")
+    t.merge_upsert(log, epoch_id=0, query_id="q", mode="mor")
+    # epoch 1 re-delivers the winning events verbatim (source crash-replay)
+    t.merge_upsert(winning, epoch_id=1, query_id="q", mode="mor")
+    assert _state(t) == _expected(log)  # one row per key, not two
+    t.compact_deltas()  # the fold must not bake a duplicate into the base
+    assert _state(t) == _expected(log)
+    # re-delivery AFTER compaction: the tie now spans base + delta
+    t.merge_upsert(winning, epoch_id=2, query_id="q", mode="mor")
+    assert _state(t) == _expected(log)
+    t.compact_deltas()
+    assert _state(t) == _expected(log)
+
+
 def test_mor_schema_evolution_delta(spark, tmp_path):
     """A MoR epoch carrying a new column evolves the schema; base files
     written pre-evolution read back aligned (NULL-filled) through the
@@ -156,6 +183,142 @@ def test_mor_schema_evolution_delta(spark, tmp_path):
     assert sorted(
         map(tuple, got.select("conv_id", "turn_idx", "text", "model").collect())
     ) == sorted(map(tuple, expected.collect()))
+
+
+def test_widening_matrix_across_mor_and_rebucket(spark, tmp_path):
+    """Widen × {CoW, MoR-delta, compact_deltas, rebucket} (VERDICT r4
+    #4): a base written int32 with deltas written post-widening int64
+    (and the reverse layering) must read, fold, compact and rebucket
+    oracle-equal, with the table schema at the widened type
+    throughout."""
+    from pyspark.sql import types as T
+
+    log = gen_cdc_log(spark, 800, num_convs=8, turns_per_conv=5)
+    head, tail = log.filter("seq < 400"), log.filter("seq >= 400")
+    widened_tail = tail.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    expected = sorted(
+        map(
+            tuple,
+            final_state(log, payload_cols=("text",))
+            .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+            .collect(),
+        )
+    )
+
+    def check(t):
+        assert {f.name: f.dataType for f in t.schema().fields}["turn_idx"] == T.LongType()
+        assert sorted(
+            map(tuple, t.read().select("conv_id", "turn_idx", "text").collect())
+        ) == expected
+
+    # layering 1: int32 CoW base, int64 MoR deltas on top
+    a = _table(spark, tmp_path, "a", buckets=4)
+    a.merge_upsert(head, epoch_id=0, query_id="q")
+    a.merge_upsert(widened_tail, epoch_id=1, query_id="q", mode="mor")
+    check(a)  # read folds across generations of different widths
+    a.compact_deltas()
+    check(a)  # fold baked at the widened type
+    a.rebucket(16)
+    check(a)  # widening survives the bucket-spec rewrite
+
+    # layering 2: int32 MoR deltas first, widening arrives via CoW (which
+    # folds the narrow deltas under the evolved schema)
+    b = _table(spark, tmp_path, "b", buckets=4)
+    b.merge_upsert(head, epoch_id=0, query_id="q", mode="mor")
+    b.merge_upsert(widened_tail, epoch_id=1, query_id="q")
+    check(b)
+    b.rebucket(16)
+    check(b)
+
+
+def test_mor_rebase_across_racing_compatible_widening(spark, tmp_path):
+    """A MoR delta commit racing a COMPATIBLE schema evolution must
+    REBASE, not conflict (VERDICT r4 #4): the winner's widening and the
+    delta's own schema join in the registry, the delta's file entries
+    are re-pointed at the rebased schema id, and the folded read is
+    oracle-equal at the widened type."""
+    from pyspark.sql import types as T
+
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 900, num_convs=10, turns_per_conv=5)
+    t.merge_upsert(log.filter("seq < 300"), epoch_id=0, query_id="q")
+
+    widener = (
+        log.filter("seq >= 600")
+        .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    )
+    orig = t._write_manifest
+    fired = {"done": False}
+
+    def racy(manifest):
+        if not fired["done"] and manifest.get("summary", {}).get("mode") == "mor":
+            fired["done"] = True
+            t._write_manifest = orig
+            # a second writer lands a widening CoW commit first
+            SnapshotTable(t.spark, t.path).merge_upsert(
+                widener, epoch_id=0, query_id="w"
+            )
+        return orig(manifest)
+
+    t._write_manifest = racy
+    st = t.merge_upsert(
+        log.filter("seq >= 300 and seq < 600"), epoch_id=1, query_id="q", mode="mor"
+    )
+    assert not st.skipped and fired["done"]
+    m = t.manifest()
+    cur_schema = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+    assert {f.name: f.dataType for f in cur_schema.fields}["turn_idx"] == T.LongType()
+    expected = sorted(
+        map(
+            tuple,
+            final_state(log, payload_cols=("text",))
+            .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+            .collect(),
+        )
+    )
+    assert sorted(
+        map(tuple, t.read().select("conv_id", "turn_idx", "text").collect())
+    ) == expected
+    # and compaction folds the mixed-width generations cleanly
+    t.compact_deltas()
+    assert sorted(
+        map(tuple, t.read().select("conv_id", "turn_idx", "text").collect())
+    ) == expected
+
+
+def test_mor_racing_incompatible_evolution_conflicts(spark, tmp_path):
+    """The rebase is only for COMPATIBLE evolution: when the racing
+    winner registered the same new column at an incompatible type, the
+    delta commit must raise CommitConflictError (the caller recomputes
+    and then fails loudly, per the no-lossy-coercion contract)."""
+    rows = "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t = _table(spark, tmp_path, buckets=4)
+    t.merge_upsert(
+        spark.createDataFrame([(1, "insert", "c1", 0, "user", "hi", None, None)], rows),
+        epoch_id=0, query_id="q",
+    )
+    with_int = spark.createDataFrame(
+        [(10, "insert", "c2", 0, "user", "a", None, None)], rows
+    ).withColumn("extra", F.lit(1))
+    with_str = spark.createDataFrame(
+        [(20, "insert", "c3", 0, "user", "b", None, None)], rows
+    ).withColumn("extra", F.lit("s"))
+
+    orig = t._write_manifest
+    fired = {"done": False}
+
+    def racy(manifest):
+        if not fired["done"] and manifest.get("summary", {}).get("mode") == "mor":
+            fired["done"] = True
+            t._write_manifest = orig
+            SnapshotTable(t.spark, t.path).merge_upsert(
+                with_int, epoch_id=0, query_id="w"
+            )
+        return orig(manifest)
+
+    t._write_manifest = racy
+    with pytest.raises(CommitConflictError, match="incompatible"):
+        t.merge_upsert(with_str, epoch_id=1, query_id="q", mode="mor")
 
 
 def test_bucket_pruned_read_applies_deltas(spark, tmp_path):
@@ -277,6 +440,23 @@ def test_delta_stats_drive_compaction(spark, tmp_path):
     assert s2["max_layers"] < 3
     t.compact_deltas()
     assert t.delta_stats()["buckets_with_deltas"] == 0
+
+
+def test_replay_batch_auto_compact_async(spark, tmp_path):
+    """Batch-replay twin of the maintenance policy: the async fold runs
+    OFF the ingest path (a dedicated worker; a conflict with a racing
+    merge is swallowed and re-triggers). End state oracle-equal, layer
+    count bounded once the loop drains."""
+    log = gen_cdc_log(spark, 2400, num_convs=16, turns_per_conv=6)
+    t = _table(spark, tmp_path, buckets=8)
+    replay_batch(
+        log, t, epochs=8, bounds=(0, 2399), merge_mode="mor",
+        auto_compact_layers=2, auto_compact_async=True,
+    )
+    # the pool is joined before replay_batch returns; the last fold may
+    # legitimately have lost to the final merge → one layer of slack
+    assert t.delta_stats()["max_layers"] <= 3
+    assert _state(t) == _expected(log)
 
 
 def test_mor_read_plan_shape(spark, tmp_path):

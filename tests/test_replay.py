@@ -150,9 +150,85 @@ def test_tombstone_expiry_is_state_preserving(spark, tmp_path):
     t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
     replay_batch(log, t, epochs=2)
     before = _state(t)
-    t.expire_tombstones(older_than_seq=10_000)
+    # auto horizon = min committed watermark + 1; the single drained
+    # writer committed through the log's max seq, so every tombstone is
+    # below it
+    t.expire_tombstones()
     assert t.read(system=True).filter("_deleted").count() == 0
     assert _state(t) == before
+
+
+def test_tombstone_horizon_guard_blocks_resurrection(spark, tmp_path):
+    """The r4 #6 safety proof. Two writers on one table: A is fully
+    caught up (committed the delete at seq 500), B is a lagging replay
+    of the same log (committed only through seq 10, its next epoch
+    still carries seq 100 < 500). Expiring A's tombstone while B lags
+    lets B's pre-delete update RESURRECT the deleted row — reproduced
+    here with the guard bypassed (force=True), then shown blocked by
+    the guard: the horizon is capped at min(watermarks)+1, the refused
+    expiry raises, and after B catches up the row stays deleted."""
+    rows = "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def ev(seq, op, conv, turn, text):
+        return (seq, op, conv, turn, "user", text, None, None)
+
+    events = [
+        ev(10, "insert", "K", 0, "v1"),
+        ev(100, "update", "K", 0, "v2-stale"),
+        ev(500, "delete", "K", 0, None),
+        ev(20, "insert", "other", 0, "x"),
+    ]
+
+    def setup(name):
+        t = SnapshotTable.create(
+            spark, str(tmp_path / name), SCHEMA, KEYS, num_buckets=4
+        )
+        # writer A: fully drained (insert + delete committed)
+        t.merge_upsert(
+            spark.createDataFrame([e for e in events if e[0] in (10, 500, 20)], rows),
+            epoch_id=0, query_id="a",
+        )
+        # writer B: lagging replay — committed only the head (seq ≤ 20)
+        t.merge_upsert(
+            spark.createDataFrame([e for e in events if e[0] <= 20], rows),
+            epoch_id=0, query_id="b",
+        )
+        return t
+
+    # (1) reproduce the resurrection with the guard bypassed
+    t = setup("buggy")
+    assert t.read().filter("conv_id = 'K'").count() == 0  # delete applied
+    t.expire_tombstones(older_than_seq=501, force=True)  # unsafe: B lags at 20
+    t.merge_upsert(  # B's next epoch delivers the pre-delete update
+        spark.createDataFrame([e for e in events if 20 < e[0] < 500], rows),
+        epoch_id=1, query_id="b",
+    )
+    assert t.read().filter("conv_id = 'K'").count() == 1  # the bug: K is back
+
+    # (2) the guard blocks it
+    import pytest
+
+    from sql_graph_visualizer_spark.lake.snapshot_table import TombstoneHorizonError
+
+    t2 = setup("guarded")
+    assert t2.safe_tombstone_horizon() == 21  # min(W_a=500, W_b=20) + 1
+    with pytest.raises(TombstoneHorizonError):
+        t2.expire_tombstones(older_than_seq=501)
+    t2.expire_tombstones()  # auto: expires only below the safe horizon
+    t2.merge_upsert(
+        spark.createDataFrame([e for e in events if 20 < e[0] < 500], rows),
+        epoch_id=1, query_id="b",
+    )
+    assert t2.read().filter("conv_id = 'K'").count() == 0  # still deleted
+    # B catches up past the delete → the tombstone becomes expirable
+    t2.merge_upsert(
+        spark.createDataFrame([ev(600, "update", "other", 0, "y")], rows),
+        epoch_id=2, query_id="b",
+    )
+    assert t2.safe_tombstone_horizon() == 501
+    t2.expire_tombstones()
+    assert t2.read(system=True).filter("_deleted").count() == 0
+    assert t2.read().filter("conv_id = 'K'").count() == 0
 
 
 def test_prefetch_seqs_filter_matches_default_path(spark, tmp_path):
