@@ -1356,71 +1356,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the round-2 driver recorded exactly the first 50
-    # dict entries (registration order) and dropped the rest, so the
-    # least-standalone queries — variants whose operator family is proven
-    # by sibling rows AND by pytest — are registered LAST. The full
-    # battery (every entry below) is additionally run locally at sf0.01
-    # and committed as CORRECTNESS_LOCAL.json.
+    # NOTE on ordering: the driver records exactly the first 50 dict
+    # entries (registration order) and drops the rest, so the window is
+    # ROTATED each round (VERDICT r4 #5): the 18 entries that missed the
+    # round-4 window are registered FIRST this round; 18 entries that
+    # already hold multiple hash-exact driver rows AND whose operator
+    # family keeps a representative inside the window moved to the tail.
+    # The full battery (every entry below) is additionally run locally
+    # at sf0.01 and sf0.1 and committed as CORRECTNESS_LOCAL.json /
+    # CORRECTNESS_SF01.json.
     return {
-        # CDC engine core
-        "cdc_final_state": q_cdc_final_state,
-        "cdc_replay_stream": q_cdc_replay_stream,
-        "cdc_final_state_mor": q_cdc_final_state_mor,
-        "cdc_compact_lww": q_cdc_compact_lww,
-        "cdc_schema_evolution": q_cdc_schema_evolution,
-        "cdc_tombstones": q_cdc_tombstones,
-        "cdc_lineage": q_cdc_lineage,
-        "cdc_regressions": q_cdc_regressions,
-        "cdc_alerts": q_cdc_alerts,
-        "cdc_alerts_stateful": q_cdc_alerts_stateful,
-        # derived graph (signature feature)
-        "graph_conv_nodes": q_graph_conv_nodes,
-        "graph_has_turn_edges": q_graph_has_turn_edges,
-        "graph_rules_nodes": q_graph_rules_nodes,
-        "graph_rules_edges": q_graph_rules_edges,
-        "graph_rules_yaml": q_graph_rules_yaml,
-        "graph_rules_config": q_graph_rules_config,
-        "graph_rules_discovered": q_graph_rules_discovered,
-        "graph_edges_incremental": q_graph_edges_incremental,
-        "rollup_turns_per_hour": q_rollup_turns_per_hour,
-        "graph_search_props": q_graph_search_props,
-        "graph_conv_digest": q_graph_conv_digest,
-        # multimodal plumbing (stubbed codecs, real Arrow/mapInPandas path)
-        "mm_decode": q_mm_decode,
-        "mm_frame_sample": q_mm_frame_sample,
-        # analyzer / monitoring analytics
-        "stream_qps_per_hour": q_stream_qps_per_hour,
-        "stream_windowed_watermark": q_stream_windowed_watermark,
-        "hotspot_scores": q_hotspot_scores,
-        # relational operator families (SURVEY §2.2-2.8)
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_q3_top10": q_tpch_q3_top10,
-        "join_theta_pairs": q_join_theta_pairs,
-        "join_asof": q_join_asof,
-        "join_range_binned": q_join_range_binned,
-        "agg_column_stats": q_agg_column_stats,
-        "agg_column_histogram": q_agg_column_histogram,
-        "sample_severity": q_sample_severity,
-        "window_top3_orders": q_window_top3_orders,
-        "agg_session_windows": q_agg_session_windows,
-        "scalar_string_funcs": q_scalar_string_funcs,
-        "json_extract_props": q_json_extract_props,
-        "sql_digest_analysis": q_sql_digest_analysis,
-        # training-data pipeline ops
-        "text_profile": q_text_profile,
-        "text_lang": q_text_lang,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_lsh_ann": q_sim_lsh_ann,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "text_quality": q_text_quality,
-        # family variants (operator coverage proven by the sibling rows
-        # above and by tests/; registered last — see NOTE)
+        # --- rotated INTO the window this round (round-4 tail) ---
         "cdc_replay_salted": q_cdc_replay_salted,
         "mm_resize_plan": q_mm_resize_plan,
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
@@ -1439,6 +1385,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_region_pairs": q_cross_region_pairs,
         "api_nodes_by_type": q_api_nodes_by_type,
         "text_repetition": q_text_repetition,
+        # --- retained window: one representative per operator family ---
+        # CDC engine core
+        "cdc_replay_stream": q_cdc_replay_stream,
+        "cdc_final_state_mor": q_cdc_final_state_mor,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_tombstones": q_cdc_tombstones,
+        "cdc_lineage": q_cdc_lineage,
+        "cdc_regressions": q_cdc_regressions,
+        "cdc_alerts_stateful": q_cdc_alerts_stateful,
+        # derived graph (signature feature)
+        "graph_rules_nodes": q_graph_rules_nodes,
+        "graph_rules_edges": q_graph_rules_edges,
+        "graph_rules_yaml": q_graph_rules_yaml,
+        "graph_rules_discovered": q_graph_rules_discovered,
+        "graph_edges_incremental": q_graph_edges_incremental,
+        "rollup_turns_per_hour": q_rollup_turns_per_hour,
+        "graph_search_props": q_graph_search_props,
+        "graph_conv_digest": q_graph_conv_digest,
+        # multimodal plumbing (stubbed codecs, real Arrow/mapInPandas path)
+        "mm_frame_sample": q_mm_frame_sample,
+        # analyzer / monitoring analytics
+        "stream_windowed_watermark": q_stream_windowed_watermark,
+        "hotspot_scores": q_hotspot_scores,
+        # relational operator families (SURVEY §2.2-2.8)
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "join_theta_pairs": q_join_theta_pairs,
+        "join_asof": q_join_asof,
+        "join_range_binned": q_join_range_binned,
+        "agg_column_stats": q_agg_column_stats,
+        "sample_severity": q_sample_severity,
+        "agg_session_windows": q_agg_session_windows,
+        "sql_digest_analysis": q_sql_digest_analysis,
+        # training-data pipeline ops
+        "text_lang": q_text_lang,
+        "text_quality": q_text_quality,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        # --- rotated OUT (each holds 1-4 prior hash-exact driver rows;
+        # family coverage inside the window is noted per entry) ---
+        "cdc_final_state": q_cdc_final_state,  # mor/batch_op/stream siblings
+        "cdc_compact_lww": q_cdc_compact_lww,  # LWW exercised by every final-state row
+        "cdc_alerts": q_cdc_alerts,  # alerts_stateful + rollup cover J6
+        "graph_conv_nodes": q_graph_conv_nodes,  # nodes_by_type sibling
+        "graph_has_turn_edges": q_graph_has_turn_edges,  # uses_tool_edges sibling
+        "graph_rules_config": q_graph_rules_config,  # rules_yaml sibling
+        "mm_decode": q_mm_decode,  # frame_sample + resize_plan siblings
+        "tpch_q1_pricing": q_tpch_q1_pricing,  # agg_orders_having covers A1
+        "stream_qps_per_hour": q_stream_qps_per_hour,  # rollup covers time counts
+        "agg_column_histogram": q_agg_column_histogram,  # column_stats/topk siblings
+        "window_top3_orders": q_window_top3_orders,  # agg_topk_values covers W2
+        "scalar_string_funcs": q_scalar_string_funcs,  # text family + date_trunc
+        "json_extract_props": q_json_extract_props,  # graph_search_props sibling
+        "text_profile": q_text_profile,  # lang/quality/repetition siblings
+        "dedup_exact": q_dedup_exact,  # minhash/simhash siblings
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # minhash is the scale path
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,  # sim_* siblings
+        "sim_lsh_ann": q_sim_lsh_ann,  # cosine_topk + ivf_topk siblings
     }
 
 

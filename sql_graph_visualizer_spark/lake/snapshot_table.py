@@ -231,10 +231,12 @@ class PreparedMerge:
     # strong-scaling efficiency pays for at every cluster size.
     winner_seqs: Any = None
     # bucket spec the affected-bucket set was computed under; if a
-    # rebucket commits between prepare and upsert, merge_upsert detects
-    # the mismatch and recomputes `affected` under the new spec instead
+    # rebucket (monolithic or a progressive-migration frontier advance)
+    # commits between prepare and upsert, merge_upsert detects the
+    # mismatch and recomputes `affected` under the new routing instead
     # of pruning the wrong buckets
     num_buckets: int = 0
+    spec_token: str = ""
 
 
 class SnapshotTable:
@@ -582,8 +584,61 @@ class SnapshotTable:
 
     # --------------------------------------------------------------- reads
 
-    def _bucket_expr(self, m: dict[str, Any]) -> Column:
-        return F.pmod(F.xxhash64(F.col(m["bucket_col"])), F.lit(m["num_buckets"]))
+    @staticmethod
+    def _spec_token(m: dict[str, Any]) -> str:
+        """Identity of the bucket-routing function: the bucket count
+        plus, during a progressive rebucket, the migration target and
+        frontier. Any commit that changes how a key maps to a bucket id
+        changes this token — writers compare it to detect that their
+        partitioning (or prepared bucket set) is stale."""
+        mig = m.get("migration")
+        if not mig:
+            return str(m["num_buckets"])
+        return f"{m['num_buckets']}>{mig['new_num_buckets']}@{mig['frontier']}"
+
+    @staticmethod
+    def _frontier_advance_disjoint(
+        m: dict[str, Any], cur: dict[str, Any], routed_ids: list[int]
+    ) -> bool:
+        """True iff ``cur`` differs from ``m`` ONLY by a further-advanced
+        frontier of the SAME progressive migration, and none of
+        ``routed_ids``' underlying old buckets were migrated in between
+        — i.e. the routing of every one of our buckets is unchanged, so
+        bucket labels computed under ``m`` remain correct under ``cur``
+        and the commit can rebase instead of conflicting."""
+        a, b = m.get("migration"), cur.get("migration")
+        if not a or not b:
+            return False
+        if (
+            int(cur["num_buckets"]) != int(m["num_buckets"])
+            or int(a["new_num_buckets"]) != int(b["new_num_buckets"])
+            or int(b["frontier"]) < int(a["frontier"])
+        ):
+            return False
+        old_n = int(m["num_buckets"])
+        lo, hi = int(a["frontier"]), int(b["frontier"])
+        return all(not (lo <= int(r) % old_n < hi) for r in routed_ids)
+
+    def _bucket_expr(self, m: dict[str, Any], col: Column | None = None) -> Column:
+        """Routed bucket id under ``m``'s spec. During a progressive
+        rebucket the old and new specs coexist: old buckets below the
+        migration ``frontier`` have been rewritten under the new modulus
+        (``new_num_buckets`` is a multiple of the old, so old bucket b
+        splits into {b, b+old_n, b+2·old_n, ...} — a key's new bucket is
+        derivable from its hash alone), buckets at-or-above it still
+        live under the old one. The frontier is a single integer, so the
+        routing expression is one CASE — O(1) regardless of bucket
+        count."""
+        c = col if col is not None else F.col(m["bucket_col"])
+        h = F.xxhash64(c)
+        old_b = F.pmod(h, F.lit(m["num_buckets"]))
+        mig = m.get("migration")
+        if not mig:
+            return old_b
+        return F.when(
+            old_b < F.lit(int(mig["frontier"])),
+            F.pmod(h, F.lit(int(mig["new_num_buckets"]))),
+        ).otherwise(old_b)
 
     def bucket_id(
         self, col: Column | str | None = None, manifest: dict[str, Any] | None = None
@@ -598,10 +653,13 @@ class SnapshotTable:
         ``read(buckets=..., manifest=...)`` it prunes — resolving the
         spec twice opens a race where a ``rebucket`` migration commits
         in between and the bucket ids silently prune the wrong layout
-        (GraphSync/RollupSync pin one manifest per epoch for this)."""
+        (GraphSync/RollupSync pin one manifest per epoch for this).
+        During a progressive migration the id is the ROUTED one (old or
+        new modulus per the frontier — same function every writer
+        partitions with)."""
         m = manifest if manifest is not None else self.manifest()
         c = F.col(col) if isinstance(col, str) else (col if col is not None else F.col(m["bucket_col"]))
-        return F.pmod(F.xxhash64(c), F.lit(m["num_buckets"]))
+        return self._bucket_expr(m, c)
 
     def _read_files(self, m: dict[str, Any], entries: list[dict[str, Any]]) -> DataFrame:
         """Read a set of file entries, aligning every historical schema to
@@ -782,6 +840,7 @@ class SnapshotTable:
             max_seq=int(agg["mx"]) if agg["mx"] is not None else -1,
             winner_seqs=winner_seqs,
             num_buckets=int(m["num_buckets"]),
+            spec_token=self._spec_token(m),
         )
 
     def merge_upsert(
@@ -866,11 +925,13 @@ class SnapshotTable:
         winners = prepared.winners
         rows_in, deletes = prepared.rows_in, prepared.deletes
         affected = prepared.affected
-        if prepared.num_buckets and prepared.num_buckets != int(m["num_buckets"]):
-            # a rebucket migration committed between prepare and now: the
-            # prepared bucket set is numbered under the OLD spec — pruning
-            # with it would read the wrong buckets. Recompute from the
-            # persisted winners (∝ |keys|, one tiny agg job).
+        prep_spec = prepared.spec_token or str(prepared.num_buckets)
+        if prepared.num_buckets and prep_spec != self._spec_token(m):
+            # a rebucket (or a progressive-migration frontier advance)
+            # committed between prepare and now: the prepared bucket set
+            # is numbered under the OLD routing — pruning with it would
+            # read the wrong buckets. Recompute from the persisted
+            # winners (∝ |keys|, one tiny agg job).
             if rows_in > 0:
                 row = winners.select(
                     F.collect_set(self._bucket_expr(m)).alias("bs")
@@ -1021,13 +1082,18 @@ class SnapshotTable:
                     # schema evolution is rebased in build_mor (an
                     # incompatible one raises there) — but a racing
                     # rebucket does: these delta files were
-                    # hash-partitioned under OUR spec, and attaching their
-                    # old-numbered bucket refs to the new layout would
-                    # misplace every row for pruned reads
-                    if int(cur["num_buckets"]) != int(m["num_buckets"]):
-                        raise CommitConflictError(
-                            f"concurrent rebucket on {self.path}"
-                        )
+                    # hash-partitioned under OUR routing, and attaching
+                    # their old-numbered bucket refs to the new layout
+                    # would misplace every row for pruned reads. The ONE
+                    # routing change that rebases instead of conflicting
+                    # is a progressive-migration frontier advance that
+                    # touches none of our buckets (their routing — and so
+                    # our labels — is unchanged).
+                    if self._spec_token(cur) != self._spec_token(m):
+                        if not self._frontier_advance_disjoint(m, cur, affected):
+                            raise CommitConflictError(
+                                f"concurrent rebucket on {self.path}"
+                            )
 
                 committed = self._commit_with_rebase(
                     build_mor, epoch_id, query_id, m, validate_mor
@@ -1111,7 +1177,7 @@ class SnapshotTable:
                         raise CommitConflictError(
                             f"concurrent schema evolution on {self.path}"
                         )
-                    if int(cur["num_buckets"]) != int(m["num_buckets"]):
+                    if self._spec_token(cur) != self._spec_token(m):
                         raise CommitConflictError(
                             f"concurrent rebucket on {self.path}"
                         )
@@ -1177,11 +1243,12 @@ class SnapshotTable:
 
         # appends commute (no bucket is rewritten) → rebase-and-retry
         # needs no data validation; a raced same-epoch append is fenced.
-        # The one non-commuting commit is a rebucket: these files were
-        # hash-partitioned under the old spec, so attaching them to the
-        # migrated layout would misplace rows for pruned reads.
+        # The one non-commuting commit is a rebucket (including a
+        # progressive-migration frontier advance): these files were
+        # hash-partitioned under the old routing, so attaching them to
+        # the migrated layout would misplace rows for pruned reads.
         def validate(cur: dict[str, Any]) -> None:
-            if int(cur["num_buckets"]) != int(m["num_buckets"]):
+            if self._spec_token(cur) != self._spec_token(m):
                 raise CommitConflictError(f"concurrent rebucket on {self.path}")
 
         committed = self._commit_with_rebase(build, epoch_id, query_id, m, validate)
@@ -1367,6 +1434,7 @@ class SnapshotTable:
         df = self.read(manifest=m, system=True)  # folds deltas
         m2 = dict(m)
         m2["num_buckets"] = int(new_num_buckets)
+        m2.pop("migration", None)  # plain new-spec routing for the rewrite
         new_files = self._write_data(df, m2)
         new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
         base_tokens = self._all_tokens(m)
@@ -1374,6 +1442,7 @@ class SnapshotTable:
         def build(cur: dict[str, Any]) -> dict[str, Any]:
             c = dict(cur)
             c.pop("files", None)
+            c.pop("migration", None)  # a rebucket supersedes any in-flight migration
             c["num_buckets"] = int(new_num_buckets)
             c["segments"] = dict(new_segs)
             c["deltas"] = {}
@@ -1395,6 +1464,216 @@ class SnapshotTable:
 
         committed = self._commit_with_rebase(build, -1, "rebucket", m, validate)
         return int(committed["version"])
+
+    # ------------------------------------------- progressive rebucket
+
+    def rebucket_start(self, new_num_buckets: int) -> int:
+        """Begin a PROGRESSIVE bucket-count migration (VERDICT r4 #1:
+        the monolithic ``rebucket`` rewrites the whole table in one
+        commit that any concurrent commit invalidates — on a
+        continuously-ingesting 100 TB table it can never land and would
+        be a stop-the-world-sized job anyway). The progressive form
+        keeps both specs in the manifest (``migration: {new_num_buckets,
+        frontier}``) and migrates old buckets in small conflict-checked
+        batches (``rebucket_step``): old buckets below the frontier live
+        under the new modulus, the rest under the old one, and every
+        reader/writer routes per key through the frontier CASE
+        (``_bucket_expr``). Ingest never pauses — a step that loses a
+        race with a merge yields and retries, a merge that loses to a
+        step recomputes its bucket set (``PreparedMerge.spec_token``).
+
+        ``new_num_buckets`` must be a MULTIPLE of the current count: old
+        bucket b then splits into exactly {b + j·old_n}, so a key's new
+        bucket is derivable from its hash alone and the two numbering
+        spaces never collide (a new-spec id below old_n only ever holds
+        a subset of the same old bucket's keys).
+
+        This start commit is metadata-only (frontier 0 routes like the
+        old spec); returns the manifest version."""
+        m = self.manifest()
+        old_n, new_n = int(m["num_buckets"]), int(new_num_buckets)
+        if new_n % old_n != 0 or new_n <= old_n:
+            raise ValueError(
+                f"progressive rebucket needs a strict multiple of {old_n}, got {new_n}"
+            )
+        if m.get("migration"):
+            raise CommitConflictError(f"migration already active on {self.path}")
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            c["migration"] = {"new_num_buckets": new_n, "frontier": 0}
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {"operation": "rebucket-start", "num_buckets": new_n}
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            if cur.get("migration") or int(cur["num_buckets"]) != old_n:
+                raise CommitConflictError(f"concurrent rebucket on {self.path}")
+
+        committed = self._commit_with_rebase(build, -1, "rebucket-start", m, validate)
+        return int(committed["version"])
+
+    def rebucket_step(self, max_buckets: int = 1) -> dict[str, int]:
+        """Migrate the next ``max_buckets`` old buckets past the
+        frontier: read exactly those buckets (LWW-folding their deltas,
+        keeping tombstones), rewrite their rows under the new modulus,
+        and advance the frontier in the same commit. Work per step ∝ the
+        migrated buckets' bytes — the unit a scheduler sizes to fit
+        between ingest epochs. Conflict-checked per step: a merge that
+        lands on a migrating bucket first invalidates only THIS step
+        (ingest wins; rerun the step), not the whole migration.
+
+        Returns ``{migrated, remaining, version}``; ``remaining == 0``
+        means ``rebucket_finish`` can seal the new spec."""
+        m = self.manifest()
+        mig = m.get("migration")
+        if not mig:
+            raise ValueError(f"no active migration on {self.path}")
+        old_n = int(m["num_buckets"])
+        lo = int(mig["frontier"])
+        hi = min(old_n, lo + max(1, int(max_buckets)))
+        if lo >= old_n:
+            return {"migrated": 0, "remaining": 0, "version": int(m["version"])}
+        batch = list(range(lo, hi))
+        # the batch's routed ids under the CURRENT frontier are the old
+        # ids themselves (they are at-or-above the frontier)
+        df = self.read(buckets=batch, manifest=m, system=True)
+        m_step = dict(m)
+        m_step["migration"] = {"new_num_buckets": int(mig["new_num_buckets"]), "frontier": hi}
+        new_files = self._write_data(df, m_step)
+        new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
+        batch_set = set(batch)
+        base_tokens = {b: self._bucket_token(m, b) for b in batch}
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            refs = {
+                b: r
+                for b, r in self._seg_refs_for_write(cur).items()
+                if int(b) not in batch_set
+            }
+            refs.update(new_segs)
+            c = dict(cur)
+            c.pop("files", None)
+            c["segments"] = refs
+            # the fold consumed the migrated buckets' deltas
+            c["deltas"] = {
+                b: v
+                for b, v in self._delta_refs(cur).items()
+                if int(b) not in batch_set
+            }
+            c["migration"] = dict(m_step["migration"])
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {
+                "operation": "rebucket-step",
+                "frontier": hi,
+                "buckets": len(batch),
+                "total_files_bytes": _refs_total_bytes(refs),
+            }
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            # only the migrating buckets must be unchanged — commits on
+            # other buckets interleave freely with the migration
+            cm = cur.get("migration")
+            if (
+                not cm
+                or int(cur["num_buckets"]) != old_n
+                or int(cm["new_num_buckets"]) != int(mig["new_num_buckets"])
+                or int(cm["frontier"]) != lo
+            ):
+                raise CommitConflictError(
+                    f"migration state changed under rebucket_step on {self.path}"
+                )
+            for b in batch:
+                if self._bucket_token(cur, b) != base_tokens[b]:
+                    raise CommitConflictError(
+                        f"bucket {b} changed under rebucket_step on {self.path}"
+                    )
+
+        committed = self._commit_with_rebase(build, -1, "rebucket-step", m, validate)
+        return {
+            "migrated": len(batch),
+            "remaining": old_n - hi,
+            "version": int(committed["version"]),
+        }
+
+    def rebucket_finish(self) -> int:
+        """Seal a completed migration: every old bucket is below the
+        frontier, so the frontier routing already equals plain
+        ``pmod(hash, new_n)`` — this commit is pure metadata
+        (num_buckets := new_n, migration dropped; ids are unchanged)."""
+        m = self.manifest()
+        mig = m.get("migration")
+        if not mig:
+            raise ValueError(f"no active migration on {self.path}")
+        old_n = int(m["num_buckets"])
+        if int(mig["frontier"]) < old_n:
+            raise ValueError(
+                f"migration incomplete on {self.path}: frontier "
+                f"{mig['frontier']}/{old_n}"
+            )
+        new_n = int(mig["new_num_buckets"])
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            c.pop("migration", None)
+            c["num_buckets"] = new_n
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {"operation": "rebucket-finish", "num_buckets": new_n}
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            cm = cur.get("migration")
+            if (
+                not cm
+                or int(cur["num_buckets"]) != old_n
+                or int(cm["new_num_buckets"]) != new_n
+                or int(cm["frontier"]) < old_n
+            ):
+                raise CommitConflictError(
+                    f"migration state changed under rebucket_finish on {self.path}"
+                )
+
+        committed = self._commit_with_rebase(build, -1, "rebucket-finish", m, validate)
+        return int(committed["version"])
+
+    def rebucket_progressive(
+        self,
+        new_num_buckets: int,
+        buckets_per_step: int = 4,
+        max_step_retries: int = 100,
+        backoff_s: float = 0.05,
+    ) -> int:
+        """Drive a full progressive migration to completion against live
+        ingest: start (no-op if this migration is already active, so a
+        crashed migrator just resumes from the committed frontier), then
+        step until the frontier covers every old bucket — each step
+        retried with backoff when ingest wins a bucket race — then
+        finish. Ingest is never paused and never loses a commit to the
+        migration; the soak test migrates a table mid-replay and
+        converges. Returns the final manifest version."""
+        try:
+            self.rebucket_start(new_num_buckets)
+        except CommitConflictError:
+            mig = self.manifest().get("migration")
+            if not mig or int(mig["new_num_buckets"]) != int(new_num_buckets):
+                raise  # a DIFFERENT migration is active — genuinely conflicted
+        retries = 0
+        while True:
+            try:
+                res = self.rebucket_step(max_buckets=buckets_per_step)
+            except CommitConflictError:
+                retries += 1
+                if retries > max_step_retries:
+                    raise
+                time.sleep(backoff_s * min(retries, 10))
+                continue
+            if res["remaining"] == 0:
+                break
+        return self.rebucket_finish()
 
     # -------------------------------------------------------- maintenance
 
