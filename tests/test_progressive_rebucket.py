@@ -202,6 +202,30 @@ def test_mor_delta_rebases_across_disjoint_frontier_advance(spark, tmp_path):
     assert [r.text for r in got.collect()] == ["rebased-delta"]
 
 
+def test_expire_snapshots_mid_migration_preserves_state(spark, tmp_path):
+    """Snapshot GC during an ACTIVE migration: the kept manifest's
+    mixed-spec segment set (old-spec buckets + migrated new-spec ids)
+    must all stay GC roots, and the migration must resume and finish
+    over the pruned snapshot history."""
+    t = _table(spark, tmp_path, buckets=4)
+    log = gen_cdc_log(spark, 1000, num_convs=12, turns_per_conv=6)
+    replay_batch(log, t, epochs=3, bounds=(0, 999))
+    t.rebucket_start(16)
+    t.rebucket_step(max_buckets=2)  # half migrated
+    before = _state(t)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 1
+    t2 = SnapshotTable(spark, t.path)  # fresh caches: re-read from disk
+    assert _state(t2) == before
+    assert int(t2.manifest()["migration"]["frontier"]) == 2
+    while t2.rebucket_step(max_buckets=2)["remaining"]:
+        pass
+    t2.rebucket_finish()
+    assert t2.manifest()["num_buckets"] == 16
+    assert _state(t2) == before
+    _pruned_equals_full(t2, log.select("conv_id").first()[0])
+
+
 def test_soak_migration_during_sustained_replay(spark, tmp_path):
     """THE done-criterion test: migrate a LIVE table mid-replay —
     ingest never pauses (every epoch commits), the migration converges
