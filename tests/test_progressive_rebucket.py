@@ -202,6 +202,52 @@ def test_mor_delta_rebases_across_disjoint_frontier_advance(spark, tmp_path):
     assert [r.text for r in got.collect()] == ["rebased-delta"]
 
 
+def test_derived_sync_across_progressive_migration(spark, tmp_path):
+    """GraphSync + RollupSync while a progressive migration advances
+    BETWEEN a data merge and its derived-table syncs: the rollup's
+    time-travel reads (merge snapshot + parent) straddle the frontier
+    move, so bucket ids must come from each manifest actually read —
+    the frontier CASE makes 'same manifest' the only correct spec
+    source. Final derived tables equal full rebuilds."""
+    from sql_graph_visualizer_spark.streaming.graph_sync import (
+        GraphSync,
+        derive_conv_edges,
+    )
+    from sql_graph_visualizer_spark.streaming.rollup import RollupSync
+
+    t = _table(spark, tmp_path, buckets=4)
+    gs = GraphSync(spark, str(tmp_path / "edges"), t, num_buckets=8)
+    roll = RollupSync(
+        spark, str(tmp_path / "roll"), t, bucket="hour", source_query_id="q"
+    )
+    log = gen_cdc_log(spark, 1600, num_convs=10, turns_per_conv=6)
+    t.rebucket_start(16)
+    for e in range(4):
+        chunk = log.filter((F.col("seq") >= e * 400) & (F.col("seq") < (e + 1) * 400))
+        st = t.merge_upsert(chunk, epoch_id=e, query_id="q")
+        # the frontier advances between the merge and its syncs
+        t.rebucket_step(max_buckets=1)
+        gs.sync(chunk, e, st)
+        roll.sync(chunk, e, st)
+    t.rebucket_finish()
+    assert t.manifest()["num_buckets"] == 16
+    cols = ["src", "dst", "rel_type", "conv_id", "turn_idx"]
+    full = sorted(map(tuple, derive_conv_edges(t.read()).select(*cols).collect()))
+    incr = sorted(map(tuple, gs.read().select(*cols).collect()))
+    assert incr == full and len(full) > 0
+    expect = sorted(
+        map(
+            tuple,
+            t.read()
+            .filter(F.col("ts").isNotNull())
+            .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+            .agg(F.count("*").alias("n_turns"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, roll.read().collect())) == expect
+
+
 def test_expire_snapshots_mid_migration_preserves_state(spark, tmp_path):
     """Snapshot GC during an ACTIVE migration: the kept manifest's
     mixed-spec segment set (old-spec buckets + migrated new-spec ids)
