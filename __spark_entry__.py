@@ -1284,6 +1284,21 @@ def q_sql_digest_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram collision
+    check): fraction of each training doc's distinct word 5-grams found
+    in the benchmark slice's n-gram set (docs with doc_id % 17 == 0
+    stand in as the benchmark). Exact copies score 1.0, near-dups just
+    below, phrase collisions near 0; clean docs are absent. Broadcast
+    benchmark set; the corpus text never shuffles."""
+    from sql_graph_visualizer_spark.operators.decontam import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"), n=5
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring ladder (length / punctuation sanity / stopword
     presence → clamped weighted composite, the reference's hotspot-score
@@ -1444,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # minhash is the scale path
         "dedup_embedding_cosine": q_dedup_embedding_cosine,  # sim_* siblings
         "sim_lsh_ann": q_sim_lsh_ann,  # cosine_topk + ivf_topk siblings
+        # new in r5 (tail: next round's rotation pulls it into the window)
+        "text_decontam": q_text_decontam,
     }
 
 
@@ -1979,6 +1996,40 @@ FROM customer
         # list dedup; top word/bigram fractions via unnest + count —
         # bigram lists built with the same 1-based list arithmetic as
         # Spark's transform(sequence(...))
+        "text_decontam": r"""
+WITH corpus AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE doc_id % 17 <> 0
+),
+bench AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE doc_id % 17 = 0
+),
+cg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                  ws[i+3] || ' ' || ws[i+4])) AS g
+    FROM corpus WHERE len(ws) >= 5
+  )
+),
+bg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                  ws[i+3] || ' ' || ws[i+4])) AS g
+    FROM bench WHERE len(ws) >= 5
+  )
+),
+j AS (
+  SELECT c.doc_id, count(*) AS n_ngrams, count(b.g) AS n_matched
+  FROM cg c LEFT JOIN bg b USING (g) GROUP BY 1
+)
+SELECT doc_id, n_ngrams, n_matched,
+       round(CAST(n_matched AS DOUBLE) / n_ngrams, 6) AS contamination
+FROM j WHERE n_matched > 0
+""",
         "text_repetition": r"""
 WITH d AS (
   SELECT doc_id,

@@ -252,3 +252,56 @@ def test_cosine_expression_precision(spark):
     df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
     vals = [r[0] for r in df.select(cosine("a", "b")).collect()]
     assert math.isclose(vals[0], 1.0) and math.isclose(vals[1], 0.0)
+
+
+def test_ngram_contamination_scores(spark):
+    """Benchmark decontamination: a verbatim copy scores 1.0, a partial
+    overlap scores its exact distinct-n-gram fraction, clean and
+    too-short docs are absent, and repetition cannot inflate a score
+    (per-doc n-grams are distinct)."""
+    from sql_graph_visualizer_spark.operators.decontam import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim benchmark copy -> 1.0
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # 5 words prepended: 10 distinct 5-grams... wait compute below
+            (2, "totally novel opening words here the quick brown fox jumps"),
+            # clean doc, same vocabulary but no shared 5-gram
+            (3, "dog lazy the over jumps fox brown quick the tonight"),
+            # shorter than n words -> no n-grams -> absent
+            (4, "too short for five"),
+            # repetition of one contaminated gram + novel tail: distinct
+            # grams keep the denominator honest
+            (5, "the quick brown fox jumps the quick brown fox jumps "
+                "completely unrelated trailing words continue here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, n=5).collect()
+    }
+    assert rows[1].contamination == 1.0 and rows[1].n_matched == rows[1].n_ngrams
+    # doc 2: words = 10 -> 6 grams, of which exactly 1 ("the quick brown
+    # fox jumps") is in the benchmark
+    assert rows[2].n_ngrams == 6 and rows[2].n_matched == 1
+    assert abs(rows[2].contamination - round(1 / 6, 6)) < 1e-9
+    assert 3 not in rows and 4 not in rows
+    # doc 5: 17 words -> 13 gram positions, but the repeated benchmark
+    # gram dedups to one -> 12 distinct; exactly one matches
+    assert rows[5].n_matched == 1 and rows[5].n_ngrams == 12
+    # shuffle-join fallback is value-identical to the broadcast path
+    nb = {
+        r.doc_id: r
+        for r in ngram_contamination(
+            corpus, bench, n=5, broadcast_benchmark=False
+        ).collect()
+    }
+    assert {k: (v.n_ngrams, v.n_matched) for k, v in rows.items()} == {
+        k: (v.n_ngrams, v.n_matched) for k, v in nb.items()
+    }
