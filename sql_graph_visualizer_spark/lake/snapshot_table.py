@@ -74,6 +74,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -104,6 +105,21 @@ _DELETED = "_deleted"
 
 def _refs_total_bytes(segments: dict[str, dict[str, Any]]) -> int:
     return sum(int(s.get("bytes", 0)) for s in segments.values())
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """True if the type tree contains a MapType anywhere. Spark's
+    set-operation (``distinct``) type check is recursive — a map nested
+    inside an array or struct is just as unhashable as a top-level one —
+    so the ``_fold_lww`` guard must walk the whole tree, not only the
+    top-level fields."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def _fold_lww(staged: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -137,7 +153,7 @@ def _fold_lww(staged: DataFrame, key_cols: list[str]) -> DataFrame:
     for k in key_cols:
         cond = cond & F.col(f"s.{k}").eqNullSafe(F.col(f"w.{k}"))
     folded = s.join(w, cond).select("s.*")
-    if any(isinstance(f.dataType, T.MapType) for f in staged.schema.fields):
+    if any(_contains_map(f.dataType) for f in staged.schema.fields):
         return folded.dropDuplicates(list(key_cols) + [_SEQ])
     return folded.distinct()
 
@@ -155,6 +171,25 @@ def _advance_watermark(
     if max_seq >= 0:
         wm[query_id] = max(int(wm.get(query_id, -1)), int(max_seq))
     commit["watermarks"] = wm
+
+
+def _union_schema_registries(
+    cur_reg: dict[str, Any], ours_reg: dict[str, Any], path: str
+) -> dict[str, Any]:
+    """Union two manifest schema registries, our side winning only where
+    both sides recorded the IDENTICAL schema under an id. A genuine
+    collision — same id bound to two different schemas, possible because
+    writers allocate ids locally — cannot be merged (file entries on
+    both sides already reference the id) and must fail the commit."""
+    merged = dict(cur_reg)
+    for k, v in ours_reg.items():
+        if k in merged and merged[k] != v:
+            raise CommitConflictError(
+                f"schema registry id collision on {path}: id {k} bound to "
+                "two different schemas by concurrent writers"
+            )
+        merged[k] = v
+    return merged
 
 
 def _physical(schema: T.StructType) -> T.StructType:
@@ -261,6 +296,13 @@ class SnapshotTable:
         # what strong-scaling efficiency pays for at any cluster size.
         self._man_cache: "OrderedDict[int, str]" = OrderedDict()
         self._man_cache_max = 16
+        # One lock guards BOTH LRUs: async maintenance
+        # (``maybe_compact_deltas(pool=...)`` / ``auto_compact_async``)
+        # folds deltas on the SAME instance that a replay loop is merging
+        # through, and an unsynchronized contains-check → move_to_end →
+        # read sequence racing a popitem eviction raises KeyError mid-run.
+        # The lock covers dict ops only — file IO happens outside it.
+        self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------ DDL
 
@@ -333,13 +375,17 @@ class SnapshotTable:
         Text is cached by version (immutable once created); each call
         parses a fresh dict because callers mutate manifests in place."""
         v = self._current_version() if version is None else int(version)
-        if v in self._man_cache:
-            self._man_cache.move_to_end(v)
-            return json.loads(self._man_cache[v])
+        with self._cache_lock:
+            cached = self._man_cache.get(v)
+            if cached is not None:
+                self._man_cache.move_to_end(v)
+        if cached is not None:
+            return json.loads(cached)
         text = self.io.read_text(os.path.join(self.path, _SNAP_DIR, f"v{v:08d}.json"))
-        self._man_cache[v] = text
-        while len(self._man_cache) > self._man_cache_max:
-            self._man_cache.popitem(last=False)
+        with self._cache_lock:
+            self._man_cache[v] = text
+            while len(self._man_cache) > self._man_cache_max:
+                self._man_cache.popitem(last=False)
         return json.loads(text)
 
     def versions(self) -> list[int]:
@@ -388,9 +434,10 @@ class SnapshotTable:
         # raises FileExistsError on a lost commit race (optimistic lock)
         self.io.create_exclusive(mpath, text)
         # seed the cache: the next epoch's manifest() hits it without IO
-        self._man_cache[int(v)] = text
-        while len(self._man_cache) > self._man_cache_max:
-            self._man_cache.popitem(last=False)
+        with self._cache_lock:
+            self._man_cache[int(v)] = text
+            while len(self._man_cache) > self._man_cache_max:
+                self._man_cache.popitem(last=False)
         self.io.replace_atomic(os.path.join(self.path, _HINT), str(v))
 
     def schema(self) -> T.StructType:
@@ -431,13 +478,16 @@ class SnapshotTable:
         """One bucket's data-file entries; segment files are immutable →
         cached by path (manifest-churn never invalidates them; bounded
         LRU so a long-lived writer's memory stays flat)."""
-        if rel in self._seg_cache:
-            self._seg_cache.move_to_end(rel)
-            return self._seg_cache[rel]
+        with self._cache_lock:
+            cached = self._seg_cache.get(rel)
+            if cached is not None:
+                self._seg_cache.move_to_end(rel)
+                return cached
         entries = json.loads(self.io.read_text(os.path.join(self.path, rel)))
-        self._seg_cache[rel] = entries
-        while len(self._seg_cache) > self._seg_cache_max:
-            self._seg_cache.popitem(last=False)
+        with self._cache_lock:
+            self._seg_cache[rel] = entries
+            while len(self._seg_cache) > self._seg_cache_max:
+                self._seg_cache.popitem(last=False)
         return entries
 
     def _write_segment(self, entries: list[dict[str, Any]]) -> dict[str, Any]:
@@ -445,9 +495,10 @@ class SnapshotTable:
         (path + the stats size_stats serves without opening it)."""
         rel = os.path.join(_SEG_DIR, f"seg-{uuid.uuid4().hex[:16]}.json")
         self.io.create_exclusive(os.path.join(self.path, rel), json.dumps(entries))
-        self._seg_cache[rel] = entries
-        while len(self._seg_cache) > self._seg_cache_max:
-            self._seg_cache.popitem(last=False)
+        with self._cache_lock:
+            self._seg_cache[rel] = entries
+            while len(self._seg_cache) > self._seg_cache_max:
+                self._seg_cache.popitem(last=False)
         return {
             "path": rel,
             "n": len(entries),
@@ -1134,8 +1185,16 @@ class SnapshotTable:
                     c = dict(cur)
                     c.pop("files", None)
                     # carry our (possibly evolved) schema history; validate()
-                    # guarantees no concurrent evolution raced us
-                    c["schemas"] = m["schemas"]
+                    # guarantees no concurrent evolution changed schema_id —
+                    # but a racing writer may GROW cur's registry without
+                    # changing schema_id (a MoR rebase allocating a local id
+                    # for a schema absent from the shared ancestry), so the
+                    # registries must be UNIONED, not overwritten: dropping
+                    # cur's entry would leave that writer's delta file
+                    # entries pointing at a missing schema id (VERDICT r5)
+                    c["schemas"] = _union_schema_registries(
+                        cur["schemas"], m["schemas"], self.path
+                    )
                     c["schema_id"] = m["schema_id"]
                     c["segments"] = refs
                     # the rewrite folded the touched buckets' deltas in
@@ -1270,6 +1329,45 @@ class SnapshotTable:
             return None
         return min(int(v) for v in wm.values()) + 1
 
+    def drop_watermark(self, query_id: str) -> int:
+        """Retire a decommissioned writer's committed-seq watermark.
+
+        The manifest watermarks map only grows (ADVICE r5): a one-shot
+        backfill or decommissioned stream whose ``query_id`` never
+        merges again permanently pins ``safe_tombstone_horizon`` at its
+        last committed seq, silently degrading ``expire_tombstones()``
+        to a near-no-op forever. Dropping the entry declares "this
+        writer will never merge again" — an operator decision, so the
+        commit conflicts (rather than silently losing the new value) if
+        the supposedly-dead writer advances its watermark concurrently.
+        Per-writer watermarks are visible in ``delta_stats()`` so the
+        laggard pinning the horizon can be identified first."""
+        m = self.manifest()
+        seen = (m.get("watermarks") or {}).get(query_id)
+        if seen is None:
+            return int(m["version"])  # nothing to retire
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            wm = dict(cur.get("watermarks") or {})
+            wm.pop(query_id, None)
+            c["watermarks"] = wm
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {"operation": "drop-watermark", "query_id": query_id}
+            return c
+
+        def validate(cur: dict[str, Any]) -> None:
+            now = (cur.get("watermarks") or {}).get(query_id)
+            if now is not None and int(now) > int(seen):
+                raise CommitConflictError(
+                    f"writer {query_id!r} advanced its watermark "
+                    f"({seen} -> {now}) under drop_watermark on {self.path}"
+                )
+
+        committed = self._commit_with_rebase(build, -1, "drop-watermark", m, validate)
+        return int(committed["version"])
+
     def expire_tombstones(
         self, older_than_seq: int | None = None, force: bool = False
     ) -> int:
@@ -1349,12 +1447,18 @@ class SnapshotTable:
             for b, refs in self._delta_refs(m).items()
             if refs
         }
+        wm = {k: int(v) for k, v in (m.get("watermarks") or {}).items()}
         return {
             "buckets_with_deltas": len(per_bucket),
             "total_layers": sum(v["layers"] for v in per_bucket.values()),
             "total_bytes": sum(v["bytes"] for v in per_bucket.values()),
             "max_layers": max((v["layers"] for v in per_bucket.values()), default=0),
             "per_bucket": per_bucket,
+            # per-writer committed-seq watermarks + the horizon they imply:
+            # the operator-facing view of WHICH laggard (or dead writer —
+            # see drop_watermark) is pinning tombstone expiry
+            "watermarks": wm,
+            "safe_tombstone_horizon": self.safe_tombstone_horizon(m),
         }
 
     def compact_deltas(
@@ -1722,7 +1826,8 @@ class SnapshotTable:
         for v in versions:
             if v not in keep:
                 self.io.remove(os.path.join(snap_dir, f"v{v:08d}.json"))
-                self._man_cache.pop(v, None)
+                with self._cache_lock:
+                    self._man_cache.pop(v, None)
                 removed += 1
 
         def too_young(path: str) -> bool:
@@ -1744,5 +1849,6 @@ class SnapshotTable:
                 p = os.path.join(seg_dir, f)
                 if f.startswith("seg-") and f not in live_segs and not too_young(p):
                     self.io.remove(p)
-                    self._seg_cache.pop(os.path.join(_SEG_DIR, f), None)
+                    with self._cache_lock:
+                        self._seg_cache.pop(os.path.join(_SEG_DIR, f), None)
         return removed

@@ -609,3 +609,165 @@ def test_rebucket_racing_inflight_merge_conflicts_then_converges(spark, tmp_path
     m = t.manifest()
     assert m["num_buckets"] == 16
     assert _state(t) == _expected(log)
+
+
+def test_cow_merge_unions_registry_grown_by_racing_mor_rebase(spark, tmp_path):
+    """Registry preservation under the three-writer race (VERDICT r5 #1):
+
+    B (MoR) prepares against the S0 table; C lands a widening+add-column
+    CoW epoch (schema S2, id 1); B's rebase joins S1⊆S2 → schema_id
+    UNCHANGED but a NEW registry id is allocated for B's own file schema
+    S1 (``_rebase_schema_mor`` local-id allocation); A (CoW) — prepared
+    between C and B, so its base registry lacks that id — commits last.
+    A's build must UNION the registries: overwriting with its own base's
+    (the pre-r6 behavior) drops B's entry and leaves B's delta file
+    entries pointing at a missing schema id."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    base = _table(spark, tmp_path, buckets=8)
+    log = gen_cdc_log(spark, 300, num_convs=6, turns_per_conv=5)
+    base.merge_upsert(log, epoch_id=0, query_id="seed")  # v: S0, id 0
+
+    # pick two convs routed to different buckets so A's CoW token check
+    # does not (correctly) conflict on B's delta bucket
+    m0 = base.manifest()
+    by_bucket = {
+        int(r["b"]): r["conv_id"]
+        for r in log.select("conv_id").distinct()
+        .withColumn("b", base.bucket_id("conv_id", manifest=m0))
+        .collect()
+    }
+    assert len(by_bucket) >= 2, "fixture: need two buckets"
+    (bk_b, conv_b), (bk_a, conv_a) = sorted(by_bucket.items())[:2]
+
+    def batch(conv, seq0, text, with_model):
+        cols = (
+            "conv_id string, turn_idx long, role string, text string, "
+            "tool string, ts timestamp, op string, seq long"
+        )
+        rows = [(conv, i, "user", text, None, None, "update", seq0 + i) for i in range(3)]
+        df = spark.createDataFrame(rows, cols)
+        if with_model:
+            df = df.withColumn("model", F.lit("m-c"))
+        return df
+
+    tB = SnapshotTable(spark, base.path)
+    tC = SnapshotTable(spark, base.path)
+    tA = SnapshotTable(spark, base.path)
+
+    b_built, b_go = threading.Event(), threading.Event()
+    orig_b, seen_b = tB._write_manifest, {"n": 0}
+
+    def hook_b(man):
+        if seen_b["n"] == 0:
+            seen_b["n"] = 1
+            b_built.set()
+            assert b_go.wait(timeout=300)
+        return orig_b(man)
+
+    tB._write_manifest = hook_b
+    b_err: list = []
+
+    def run_b():
+        try:
+            tB.merge_upsert(batch(conv_b, 400, "b-text", False), epoch_id=0,
+                            query_id="b", mode="mor")
+        except Exception as ex:  # noqa: BLE001
+            b_err.append(repr(ex))
+
+    thr = threading.Thread(target=run_b, daemon=True)
+    thr.start()
+    assert b_built.wait(timeout=300)  # B read S0, evolved locally to S1
+    tC.merge_upsert(batch(conv_a, 500, "c-text", True), epoch_id=0, query_id="c")
+
+    orig_a, fired = tA._write_manifest, {"done": False}
+
+    def hook_a(man):
+        if not fired["done"] and man.get("summary", {}).get("mode") == "cow":
+            fired["done"] = True
+            b_go.set()       # B commits its rebased MoR delta (new reg id)
+            thr.join(timeout=300)
+            assert not thr.is_alive() and not b_err, b_err
+        return orig_a(man)
+
+    tA._write_manifest = hook_a
+    # A read the registry AFTER C (schema_id 1) but BEFORE B's new entry
+    tA.merge_upsert(batch(conv_a, 600, "a-text", True), epoch_id=1, query_id="c")
+    assert fired["done"]
+
+    t = SnapshotTable(spark, base.path)  # cold open, no warm caches
+    m = t.manifest()
+    assert len(m["schemas"]) == 3, m["schemas"]  # S0 + S2 + B's S1 kept
+    cur = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+    assert cur["turn_idx"].dataType == T.LongType() and "model" in cur.fieldNames()
+    for refs in (m.get("deltas") or {}).values():
+        for ref in refs:
+            for e in t._load_segment(ref["path"]):
+                assert str(e["schema_id"]) in m["schemas"], e
+
+    sel = ["conv_id", "turn_idx", "text", "model", "op", "seq"]
+    full_log = (
+        log.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        .withColumn("model", F.lit(None).cast("string"))
+        .select(sel)
+        .unionByName(
+            batch(conv_b, 400, "b-text", False)
+            .withColumn("model", F.lit(None).cast("string"))
+            .select(sel)
+        )
+        .unionByName(batch(conv_a, 500, "c-text", True).select(sel))
+        .unionByName(batch(conv_a, 600, "a-text", True).select(sel))
+    )
+    expected = sorted(
+        map(tuple, final_state(full_log, payload_cols=("text", "model")).collect())
+    )
+    assert sorted(
+        map(tuple, t.read().select("conv_id", "turn_idx", "text", "model").collect())
+    ) == expected
+
+
+def test_mor_fold_handles_nested_map_schema(spark, tmp_path):
+    """ADVICE r5 (medium): the ``_fold_lww`` map guard must walk the
+    type tree — ``array<map<...>>`` / struct-containing-map schemas are
+    just as unhashable for ``distinct()`` as a top-level map, so they
+    must take the ``dropDuplicates(key + _seq)`` arm. With the old
+    top-level-only guard every MoR read of such a table raised
+    AnalysisException; cross-epoch re-delivery must still collapse."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField(
+                "attrs", T.ArrayType(T.MapType(T.StringType(), T.StringType()))
+            ),
+            T.StructField(
+                "nested",
+                T.StructType(
+                    [T.StructField("m", T.MapType(T.StringType(), T.LongType()))]
+                ),
+            ),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "nm"), schema, ["k"], num_buckets=2
+    )
+    rows = [
+        ("a", [{"x": "1"}], {"m": {"n": 1}}, "insert", 1),
+        ("a", [{"x": "2"}], {"m": {"n": 2}}, "update", 5),
+        ("b", [{"y": "9"}], {"m": {"n": 9}}, "insert", 2),
+    ]
+    df_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    batch = spark.createDataFrame(rows, df_schema)
+    t.merge_upsert(batch, epoch_id=0, query_id="q", mode="mor")
+    # cross-epoch re-delivery of the winners (the distinct()-tie case)
+    t.merge_upsert(batch.filter("seq >= 2"), epoch_id=1, query_id="q", mode="mor")
+    got = sorted((r["k"], r["attrs"][0], r["nested"]["m"]) for r in t.read().collect())
+    assert got == [("a", {"x": "2"}, {"n": 2}), ("b", {"y": "9"}, {"n": 9})]
+    t.compact_deltas()
+    assert sorted(r["k"] for r in t.read().collect()) == ["a", "b"]

@@ -248,3 +248,73 @@ def test_prefetch_seqs_filter_matches_default_path(spark, tmp_path):
     replay_batch(log, t2, epochs=3, prefetch_seqs=True)
     rows = lambda t: sorted(map(tuple, t.read().collect()))  # noqa: E731
     assert rows(t1) == rows(t2)
+
+
+def test_drop_watermark_unpins_horizon_and_conflicts_on_live_writer(spark, tmp_path):
+    """ADVICE r5: a decommissioned one-shot writer permanently pins
+    ``safe_tombstone_horizon`` at its last committed seq. Retiring its
+    watermark with ``drop_watermark`` unpins expiry; the laggard is
+    identifiable first via ``delta_stats()['watermarks']``; and dropping
+    a writer that concurrently ADVANCES its watermark conflicts instead
+    of silently erasing the new value."""
+    import pytest
+
+    from sql_graph_visualizer_spark.lake.snapshot_table import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    rows = "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def ev(seq, op, conv, turn, text):
+        return (seq, op, conv, turn, "user", text, None, None)
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    # live writer A (drained through 500, incl. a delete) + a one-shot
+    # backfill writer B that stopped forever at seq 20
+    t.merge_upsert(
+        spark.createDataFrame(
+            [ev(10, "insert", "K", 0, "v1"), ev(500, "delete", "K", 0, None)], rows
+        ),
+        epoch_id=0, query_id="a",
+    )
+    t.merge_upsert(
+        spark.createDataFrame([ev(20, "insert", "other", 0, "x")], rows),
+        epoch_id=0, query_id="backfill",
+    )
+    # the laggard is visible to operators, and pins the horizon
+    ds = t.delta_stats()
+    assert ds["watermarks"] == {"a": 500, "backfill": 20}
+    assert ds["safe_tombstone_horizon"] == 21
+    t.expire_tombstones()  # near-no-op: horizon 21 < tombstone seq 500
+    assert t.read(system=True).filter("_deleted").count() == 1
+
+    v = t.drop_watermark("backfill")  # operator retires the dead writer
+    assert v == t.manifest()["version"]
+    assert t.drop_watermark("backfill") == v  # idempotent no-op
+    assert t.safe_tombstone_horizon() == 501
+    t.expire_tombstones()
+    assert t.read(system=True).filter("_deleted").count() == 0
+
+    # dropping a writer that races a new commit of its own conflicts
+    orig = t._write_manifest
+    fired = {"done": False}
+
+    def racy(manifest):
+        if (
+            not fired["done"]
+            and manifest.get("summary", {}).get("operation") == "drop-watermark"
+        ):
+            fired["done"] = True
+            t._write_manifest = orig
+            SnapshotTable(t.spark, t.path).merge_upsert(
+                spark.createDataFrame([ev(600, "update", "other", 0, "y")], rows),
+                epoch_id=1, query_id="a",
+            )
+        return orig(manifest)
+
+    t._write_manifest = racy
+    with pytest.raises(CommitConflictError, match="advanced its watermark"):
+        t.drop_watermark("a")
+    assert fired["done"]
+    assert t.manifest()["watermarks"]["a"] == 600  # nothing was erased
