@@ -43,15 +43,20 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+from sql_graph_visualizer_spark import __version__
 from sql_graph_visualizer_spark.api.resolvers import GraphQueryResolver
 
 _PLAYGROUND = b"""<!doctype html><html><head><title>sql-graph-visualizer playground</title>
 </head><body><h3>POST /graphql</h3><pre>{"query": "{ nodesByType(type: \\"Conversation\\", limit: 10) { id label properties } }"}</pre>
 </body></html>"""
 
-# one field invocation: name, optional (arg: "value" | $var | int, ...)
+# one field invocation: name, optional (arg: "value" | $var | int, ...).
+# The selection-set group must allow NESTED braces (ADVICE r5: every real
+# GraphQL client writes `{ graph { nodes { id } } }`) — selections are
+# ignored anyway (each field returns its full wire shape), so a greedy
+# any-match bounded by the outer closing brace is exact for one field.
 _FIELD_RE = re.compile(
-    r"^\s*\{\s*(?P<field>\w+)\s*(?:\(\s*(?P<args>[^)]*)\s*\))?\s*(?:\{[^}]*\})?\s*\}\s*$"
+    r"^\s*\{\s*(?P<field>\w+)\s*(?:\(\s*(?P<args>[^)]*)\s*\))?\s*(?:\{[\s\S]*\})?\s*\}\s*$"
 )
 _ARG_RE = re.compile(r'(\w+)\s*:\s*("(?:[^"\\]|\\.)*"|\$\w+|\d+)')
 
@@ -76,6 +81,30 @@ def _parse_operation(query: str, variables: dict[str, Any]) -> tuple[str, dict[s
     return m.group("field"), args
 
 
+_REDACTED = "********"
+_SECRET_KEYS = ("password", "secret", "token", "key")
+
+
+def _redact(obj: Any) -> Any:
+    """Deep-copy a config tree with secret-bearing values masked.
+
+    The reference's ``config`` resolver and both ``/config`` REST
+    handlers return the Neo4j PASSWORD verbatim to any caller
+    (``schema.resolvers.go:179-187``, ``cmd/main.go:354-366``) — a
+    credential leak this graft deliberately does NOT mirror: the field
+    exists (clients read the URI/username to label their UI) but every
+    secret is masked before serialization."""
+    if isinstance(obj, dict):
+        return {
+            k: (_REDACTED if any(s in k.lower() for s in _SECRET_KEYS) and obj[k]
+                else _redact(v))
+            for k, v in obj.items()
+        }
+    if isinstance(obj, list):
+        return [_redact(v) for v in obj]
+    return obj
+
+
 def _page(df: DataFrame, args: dict[str, Any]) -> list[dict[str, Any]]:
     """Collect a resolver DataFrame with limit/offset pushed into the
     plan (never materialize the full graph per request)."""
@@ -89,8 +118,17 @@ def _page(df: DataFrame, args: dict[str, Any]) -> list[dict[str, Any]]:
 class GraphQLServer:
     """The reference's ``Server`` (server.go:30-101) over a resolver."""
 
-    def __init__(self, resolver: GraphQueryResolver, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        resolver: GraphQueryResolver,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        config: dict[str, Any] | None = None,
+    ):
         self.resolver = resolver
+        # the reference's Config model shape ({"neo4j": {"uri", "username",
+        # "password"}, "mysql": {...}}); served redacted — see _redact
+        self.config = config or {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -105,10 +143,34 @@ class GraphQLServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/playground":
-                    self._respond(200, _PLAYGROUND, "text/html")
-                else:
-                    self._respond(404, b'{"errors":[{"message":"not found"}]}')
+                # REST twins of the reference's plain-HTTP surface
+                # (cmd/main.go: /api/health 249-295, /config 354-374 and
+                # 337-352, /api/graph 376-431) alongside the GraphQL mount
+                path, _, rawq = self.path.partition("?")
+                try:
+                    if path == "/playground":
+                        self._respond(200, _PLAYGROUND, "text/html")
+                    elif path == "/api/health":
+                        self._respond(200, json.dumps(outer.health()).encode())
+                    elif path == "/config":
+                        self._respond(200, json.dumps(_redact(outer.config)).encode())
+                    elif path == "/api/graph":
+                        args: dict[str, Any] = {}
+                        for part in rawq.split("&"):
+                            k, _, v = part.partition("=")
+                            if k in ("limit", "offset") and v.isdigit():
+                                args[k] = int(v)
+                        nodes, rels = outer.resolver.graph()
+                        self._respond(200, json.dumps({
+                            "nodes": _page(nodes, args),
+                            "relationships": _page(rels, args),
+                        }).encode())
+                    else:
+                        self._respond(404, b'{"errors":[{"message":"not found"}]}')
+                except Exception as ex:  # noqa: BLE001
+                    self._respond(
+                        500, json.dumps({"errors": [{"message": str(ex)}]}).encode()
+                    )
 
             def do_POST(self):
                 if self.path != "/graphql":
@@ -148,7 +210,30 @@ class GraphQLServer:
             return {"data": {field: _page(r.relationships_by_type(args["type"]), args)}}
         if field == "searchNodes":
             return {"data": {field: _page(r.search_nodes(args["query"]), args)}}
+        if field == "config":
+            # schema.resolvers.go:179-188 — served REDACTED (see _redact)
+            return {"data": {field: _redact(self.config)}}
         raise ValueError(f"unknown field {field!r}")
+
+    def health(self) -> dict[str, Any]:
+        """``/api/health`` (cmd/main.go:249-295): liveness + backend
+        connectivity. The reference pings MySQL and hardcodes Neo4j as
+        connected; the graft's backend is the SparkSession the resolver's
+        DataFrames hang off — checked without running a job (health must
+        stay O(1), never a scan)."""
+        import time as _time
+
+        try:
+            sc = self.resolver.nodes.sparkSession.sparkContext
+            engine = "error: context stopped" if sc._jsc is None else "connected"
+        except Exception as ex:  # noqa: BLE001
+            engine = f"error: {ex}"
+        return {
+            "status": "healthy" if engine == "connected" else "degraded",
+            "timestamp": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            "version": __version__,
+            "engine": engine,
+        }
 
     # ------------------------------------------------------- lifecycle
 

@@ -33,10 +33,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _word_ngrams(text_col: str, n: int) -> Column:
+def _word_ngrams(text_col: str, n: int, normalize: bool = False) -> Column:
     """Distinct-ready array of space-joined word n-grams (1-based
-    positions, empty for docs shorter than n words)."""
-    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    positions, empty for docs shorter than n words).
+
+    ``normalize``: GPT-3-style pre-tokenization (appendix C) — strip
+    punctuation to spaces and collapse whitespace before n-gramming, so
+    a quote/punctuation variant of a benchmark passage ("foo, bar!" vs
+    "foo bar") still collides. Plain mode under-matches those variants
+    (ADVICE/VERDICT r5 #5); both modes are codegen expressions with
+    exact DuckDB twins."""
+    src = F.lower(F.col(text_col))
+    if normalize:
+        # punctuation → space FIRST, then trim (the replacement can
+        # create new leading/trailing spaces; \s+ split collapses runs)
+        src = F.trim(F.regexp_replace(src, r"[^a-z0-9\s]", " "))
+    else:
+        src = F.lower(F.trim(F.col(text_col)))
+    ws = F.split(src, r"\s+")
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(ws, i + j) for j in range(n)]
     )
@@ -53,6 +67,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_benchmark: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-document contamination scores vs a benchmark corpus.
 
@@ -64,12 +79,15 @@ def ngram_contamination(
     of a benchmark doc scores 1.0; untouched documents are absent
     (filter or anti-join on this result to decontaminate)."""
     grams = (
-        corpus.select(F.col(id_col).alias("doc_id"), _word_ngrams(text_col, n).alias("gs"))
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            _word_ngrams(text_col, n, normalize=normalize).alias("gs"),
+        )
         .select("doc_id", F.explode("gs").alias("g"))
         .dropDuplicates(["doc_id", "g"])
     )
     bench = (
-        benchmark.select(_word_ngrams(text_col, n).alias("gs"))
+        benchmark.select(_word_ngrams(text_col, n, normalize=normalize).alias("gs"))
         .select(F.explode("gs").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))

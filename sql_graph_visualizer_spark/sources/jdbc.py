@@ -242,7 +242,7 @@ class JdbcSource:
         min_exec_count: int = 10,
         min_avg_latency_ms: float = 1.0,
         max_statements: int = 100,
-        strict_units: bool = False,
+        reference_units: bool = True,
     ) -> DataFrame:
         """The reference's per-tick statement poll
         (performance_schema_adapter.go:498-546): digest aggregate stats
@@ -253,15 +253,16 @@ class JdbcSource:
         per poll. Feeds ``operators/text.sql_digest_tables`` and the
         hotspot/QPS queries downstream.
 
-        Unit caveat (deliberate reference parity): performance_schema
-        ``*_timer_wait`` columns are PICOSECONDS, but the reference
-        converts its ms threshold with ×1e6 (ms→ns,
-        performance_schema_adapter.go:528) — so the effective filter is
-        1000× lower than the parameter name implies (1 ms admits
-        everything ≥ 1 µs). This adapter keeps the same conversion so a
-        reference user sees identical digest sets; pass
-        ``strict_units=True`` for a true milliseconds threshold
-        (×1e9)."""
+        ``reference_units`` (ADVICE r5: the flag is NAMED for the quirk
+        it opts into, so the default can't silently contradict the
+        parameter name): performance_schema ``*_timer_wait`` columns
+        are PICOSECONDS, but the reference converts its ms threshold
+        with ×1e6 (ms→ns, performance_schema_adapter.go:528) — the
+        effective filter is 1000× lower than "ms" implies (1 ms admits
+        everything ≥ 1 µs). ``reference_units=True`` (default) keeps
+        that exact conversion so a reference user sees identical digest
+        sets; ``reference_units=False`` applies the true milliseconds
+        threshold (×1e9)."""
         q = (
             "SELECT COALESCE(schema_name, 'NULL') AS schema_name, digest, "
             "COALESCE(digest_text, '') AS digest_text, count_star, "
@@ -273,7 +274,7 @@ class JdbcSource:
             "first_seen, last_seen "
             "FROM performance_schema.events_statements_summary_by_digest "
             f"WHERE count_star >= {int(min_exec_count)} "
-            f"AND avg_timer_wait >= {int(min_avg_latency_ms * (1_000_000_000 if strict_units else 1_000_000))} "
+            f"AND avg_timer_wait >= {int(min_avg_latency_ms * (1_000_000 if reference_units else 1_000_000_000))} "
             "ORDER BY sum_timer_wait DESC "
             f"LIMIT {int(max_statements)}"
         )

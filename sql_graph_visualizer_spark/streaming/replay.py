@@ -124,6 +124,7 @@ def replay_stream(
     fmt: str = "parquet",
     merge_mode: str = "cow",
     auto_compact_layers: int | None = None,
+    auto_compact_async: bool = False,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -132,8 +133,28 @@ def replay_stream(
     the query and returns the live ``StreamingQuery`` (with a
     ``merge_stats`` attribute that fills as epochs commit) — the caller
     stops it. Reference analogue for sustained mode: the 5 s ticker loop
-    (``realtime_performance_monitor.go:287-303``)."""
+    (``realtime_performance_monitor.go:287-303``).
+
+    ``auto_compact_async`` (VERDICT r5 #4): run the MoR delta fold on a
+    maintenance thread instead of inline in ``foreachBatch``. Inline
+    gives the hard bound layers ≤ threshold at every epoch boundary but
+    blocks the micro-batch that trips it for the fold's duration — a
+    latency spike ∝ folded bytes that a sustained production stream
+    can't absorb. Async keeps every epoch's latency at merge cost; the
+    bound weakens to threshold + in-flight epochs (each epoch adds at
+    most one layer per bucket while the fold runs, and a fold that
+    loses its token race re-triggers next epoch). Safe concurrently: a
+    MoR delta commit rebases over a compaction, a compaction racing a
+    merge yields, and the shared table instance's metadata caches are
+    lock-guarded."""
     stats: list[MergeStats] = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    compact_pool = (
+        ThreadPoolExecutor(max_workers=1, thread_name_prefix="mor-compact")
+        if auto_compact_layers is not None and auto_compact_async
+        else None
+    )
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
@@ -161,9 +182,10 @@ def replay_stream(
             # per-epoch maintenance hook: delta layers stay bounded for
             # the whole run instead of relying on an operator to remember
             # compact_deltas() (unbounded layer growth = unbounded read
-            # amplification). Inline (not async) inside foreachBatch:
-            # the micro-batch cadence IS the maintenance cadence here.
-            maybe_compact_deltas(table, auto_compact_layers)
+            # amplification). Inline by default — the micro-batch cadence
+            # IS the maintenance cadence and the bound is hard; pass
+            # auto_compact_async=True to fold off-path (see docstring).
+            maybe_compact_deltas(table, auto_compact_layers, pool=compact_pool)
 
     stream = read_cdc_stream(spark, log_dir, max_files_per_trigger, fmt=fmt)
     writer = stream.writeStream.foreachBatch(apply_batch).option(
@@ -171,8 +193,12 @@ def replay_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-        q = writer.start()
-        q.awaitTermination()
+        try:
+            q = writer.start()
+            q.awaitTermination()
+        finally:
+            if compact_pool is not None:
+                compact_pool.shutdown(wait=True)
         if lineage is not None:
             lineage.flush()
         return stats
@@ -182,6 +208,17 @@ def replay_stream(
         writer = writer.trigger(processingTime=processing_time)
     query = writer.start()
     setattr(query, "merge_stats", stats)
+    if compact_pool is not None:
+        # the caller stops the query; drain the maintenance thread then —
+        # hung folds must not leak past the stream's lifetime
+        setattr(query, "compact_pool", compact_pool)
+        orig_stop = query.stop
+
+        def stop_and_drain() -> None:
+            orig_stop()
+            compact_pool.shutdown(wait=True)
+
+        query.stop = stop_and_drain  # type: ignore[method-assign]
     return query
 
 

@@ -159,11 +159,19 @@ def test_statement_digests_pushed_sql(src):
     rel = fake.calls[-1]["dbtable"]
     assert "FROM performance_schema.events_statements_summary_by_digest" in rel
     assert "WHERE count_star >= 25" in rel
-    assert "avg_timer_wait >= 2500000" in rel  # ms → ns, reference convention
+    assert "avg_timer_wait >= 2500000" in rel  # reference_units=True: the
+    # reference's ms→ns conversion against picosecond columns (its unit
+    # bug, kept by the explicitly-named default for digest-set parity)
     assert rel.rstrip(") AS sgv_digests").endswith("LIMIT 40")
     assert "ORDER BY sum_timer_wait DESC" in rel
     for col in ("digest_text", "sum_rows_examined", "sum_no_index_used", "last_seen"):
         assert col in rel
+    # reference_units=False: a TRUE milliseconds threshold (ps columns)
+    try:
+        s.statement_digests(min_avg_latency_ms=2.5, reference_units=False)
+    except AssertionError:
+        pass
+    assert "avg_timer_wait >= 2500000000" in fake.calls[-1]["dbtable"]
 
 
 def test_global_status_pushed_sql(src):

@@ -257,3 +257,73 @@ def test_soak_mor_replay_with_concurrent_delta_compaction(spark, tmp_path):
     m = table.manifest()
     assert not any((m.get("deltas") or {}).values())
     assert sorted(map(tuple, table.read().collect())) == before
+
+
+def test_soak_sustained_async_auto_compaction_bounds_layers_off_path(spark, tmp_path):
+    """VERDICT r5 #4: the auto-compaction policy in SUSTAINED mode
+    (processing-time trigger) with ``auto_compact_async=True`` — the
+    production shape where a fold blocking ``foreachBatch`` would spike
+    an epoch's latency by the fold's cost. Proves: (a) every fold runs
+    on the maintenance thread, never the micro-batch thread (the epoch
+    path pays only the O(buckets) metadata trigger check); (b) the
+    async layer bound holds at every epoch boundary (≤ L+1: one epoch
+    may land while a fold is in flight); (c) folds genuinely ran; and
+    (d) the drained table is oracle-equal."""
+    L = 3
+    n_events, n_files = 4000, 12
+    log = gen_cdc_log(spark, n_events, num_convs=20, turns_per_conv=6)
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=n_files)
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8,
+    )
+
+    fold_threads: list[str] = []
+    orig_compact = table.compact_deltas
+
+    def spying_compact(*a, **kw):
+        fold_threads.append(threading.current_thread().name)
+        return orig_compact(*a, **kw)
+
+    table.compact_deltas = spying_compact
+
+    observed: list[int] = []
+    batch_threads: set[str] = set()
+
+    def observe(batch, epoch_id, st):
+        batch_threads.add(threading.current_thread().name)
+        observed.append(table.delta_stats()["max_layers"])
+
+    q = replay_stream(
+        spark, log_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, merge_mode="mor",
+        auto_compact_layers=L, auto_compact_async=True,
+        available_now=False, processing_time="200 milliseconds",
+        on_batch=observe,
+    )
+    try:
+        deadline = time.monotonic() + 300
+        while len(q.merge_stats) < n_files and time.monotonic() < deadline:
+            time.sleep(0.25)
+    finally:
+        q.stop()  # also drains the maintenance pool (stop_and_drain)
+    assert len(q.merge_stats) == n_files, len(q.merge_stats)
+
+    # (a) off-path: every fold ran on the maintenance thread — the
+    # micro-batch thread never executed a fold
+    assert fold_threads, "policy never triggered a fold"
+    assert all(t.startswith("mor-compact") for t in fold_threads), fold_threads
+    assert not batch_threads.intersection(fold_threads)
+    # (b) async bound at every epoch boundary: ≤ L+1 (an epoch can add
+    # one layer while the triggered fold is still in flight)
+    assert len(observed) == n_files
+    assert max(observed) <= L + 1, observed
+    # (c) the policy genuinely bounded the table vs 12 unbounded layers
+    assert table.delta_stats()["max_layers"] <= L + 1
+    # (d) drained state is oracle-equal
+    expected = sorted(
+        map(tuple, final_state(log, payload_cols=("role", "text", "tool", "ts")).collect())
+    )
+    assert sorted(map(tuple, table.read().collect())) == expected

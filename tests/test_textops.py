@@ -305,3 +305,35 @@ def test_ngram_contamination_scores(spark):
     assert {k: (v.n_ngrams, v.n_matched) for k, v in rows.items()} == {
         k: (v.n_ngrams, v.n_matched) for k, v in nb.items()
     }
+
+
+def test_ngram_contamination_normalized_catches_punct_variants(spark):
+    """GPT-3-style normalization (VERDICT r5 #5b): a quote/punctuation
+    variant of a benchmark passage is invisible to the plain
+    whitespace tokenizer but collides after punctuation-stripping —
+    and normalization never creates empty-token grams."""
+    from sql_graph_visualizer_spark.operators.decontam import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # punctuation variant of the benchmark passage
+            (1, '"The quick, brown fox -- jumps over the lazy dog," tonight.'),
+            # clean doc with punctuation noise
+            (2, "completely unrelated; words... only (nothing) shared here!"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=5).collect()}
+    # plain mode: tokens like '"the' and 'quick,' never match -> absent
+    assert 1 not in plain
+    norm = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, n=5, normalize=True).collect()
+    }
+    # normalized: the variant is a verbatim hit (10 words -> 6 grams, all match)
+    assert norm[1].contamination == 1.0 and norm[1].n_ngrams == 6
+    assert 2 not in norm
