@@ -26,6 +26,7 @@ from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
 from sql_graph_visualizer_spark.operators.compaction import compact_lww, final_state
 from sql_graph_visualizer_spark.operators.dedup import (
     dedup_exact,
+    minhash_incremental_oracle_sql,
     minhash_lsh_oracle_sql,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1090,6 +1091,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection via the persisted MinHash index
+    (``operators/dedup_index.MinHashIndex``, new in r6): the corpus
+    (doc_id % 3 != 0) is signature-indexed in epoch 0 into a lake
+    SnapshotTable; the epoch-1 batch (doc_id % 3 == 0) is probed against
+    the index — batch side broadcast, corpus signatures never reshuffled,
+    batch text shingled exactly once. The DuckDB oracle recomputes the
+    FULL one-shot banded pipeline over all documents and keeps exactly
+    the cross (new × indexed) pairs, so index-path and recompute-path
+    agreement is value-exact. Portable hash family."""
+    import tempfile
+
+    from sql_graph_visualizer_spark.operators.dedup_index import MinHashIndex
+
+    base = tempfile.mkdtemp(prefix="sgv_mhidx_")
+    docs = _read(spark, sf_dir, "documents")
+    idx = MinHashIndex.create(
+        spark, os.path.join(base, "ix"), num_hashes=64, bands=16, portable=True
+    )
+    idx.add_batch(docs.filter("doc_id % 3 <> 0"), epoch_id=0, threshold=0.5)
+    matches, _ = idx.add_batch(docs.filter("doc_id % 3 = 0"), epoch_id=1, threshold=0.5)
+    return matches
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 48-bit family (oracle recomputes
     token hashes, bit sums, packing, chunk banding and Hamming distances
@@ -1471,7 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang": q_text_lang,
         "text_quality": q_text_quality,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,  # NEW r6
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         # --- rotated OUT (each holds 1-4 prior hash-exact driver rows;
@@ -1498,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_salted": q_cdc_replay_salted,  # final_state/mor/stream siblings
         "mm_resize_plan": q_mm_resize_plan,  # mm_frame_sample in window
         "graph_node_by_id": q_graph_node_by_id,  # nodes_by_type/search in window
+        "dedup_simhash": q_dedup_simhash,  # green r5 row; minhash family in window
     }
 
 
@@ -2201,6 +2227,7 @@ SELECT media_id, width, height,
 FROM dims
 """,
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(threshold=0.5),
+        "dedup_incremental_minhash": minhash_incremental_oracle_sql(threshold=0.5),
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,

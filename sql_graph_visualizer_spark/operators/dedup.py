@@ -216,6 +216,69 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
+) -> tuple[DataFrame, list[str]]:
+    """Explode a ``(id, sig)`` signature frame into LSH band rows and
+    return ``(banded, join_keys)`` — the shared banding step of the
+    self-join (``minhash_lsh_pairs``) and the incremental index probe
+    (``dedup_index.MinHashIndex``), so both sides of an index lookup are
+    guaranteed the identical band keys.
+
+    Default family: band key = xxhash64 of the band's slot slice (one
+    long). ``portable=True``: the band key is the r raw slot values
+    themselves — wider, but recomputable by an external SQL oracle."""
+    r = num_hashes // bands
+    if portable:
+        # oracle-recomputable banding: the band key is the r raw slot
+        # values themselves (no bucket hash an external engine would have
+        # to reproduce). Join-key width is r longs instead of one — fine:
+        # the banded row is still ∝ docs × bands.
+        slot_keys = [f"k{j}" for j in range(r)]
+        banded = sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        *[
+                            F.element_at("sig", b * r + j + 1).alias(f"k{j}")
+                            for j in range(r)
+                        ],
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", "sig", "bb.*")
+        return banded, ["band", *slot_keys]
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r), b).alias("bucket")
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return banded, ["band", "bucket"]
+
+
+def est_jaccard_col(num_hashes: int) -> F.Column:
+    """Estimated Jaccard from two signature columns ``sig_a``/``sig_b``:
+    matching slots / k. HOF (interpreted) — applied to CANDIDATES only,
+    never the corpus."""
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda m: m == 1
+        )
+    )
+    return matches / F.lit(num_hashes)
+
+
 def _capped_bucket_pairs(
     banded: DataFrame,
     join_keys: list[str],
@@ -311,7 +374,6 @@ def minhash_lsh_pairs(
     calls ``spark.catalog.clearCache()``. Long-lived sessions running
     many dedup passes should materialize signatures to a table instead.
     """
-    r = num_hashes // bands
     # persist: the self-join's two aliases would otherwise recompute the
     # whole shingle→hash→aggregate pipeline twice. Signatures are
     # (id, k longs) — a fraction of a percent of corpus bytes, so this is
@@ -324,43 +386,7 @@ def minhash_lsh_pairs(
         shingle_n,
         portable=portable,
     ).persist()
-    if portable:
-        # oracle-recomputable banding: the band key is the r raw slot
-        # values themselves (no bucket hash an external engine would have
-        # to reproduce). Join-key width is r longs instead of one — fine:
-        # the banded row is still ∝ docs × bands.
-        slot_keys = [f"k{j}" for j in range(r)]
-        banded = sig.select(
-            "id",
-            "sig",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        *[
-                            F.element_at("sig", b * r + j + 1).alias(f"k{j}")
-                            for j in range(r)
-                        ],
-                    ),
-                )
-            ).alias("bb"),
-        ).select("id", "sig", "bb.*")
-        join_keys = ["band", *slot_keys]
-    else:
-        banded = sig.select(
-            "id",
-            "sig",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r), b).alias("bucket")
-                    ),
-                )
-            ).alias("bb"),
-        ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        join_keys = ["band", "bucket"]
+    banded, join_keys = banded_signatures(sig, num_hashes, bands, portable=portable)
     if bucket_cap is not None:
         cand = _capped_bucket_pairs(
             banded, join_keys, sig, "sig", "a_id", "b_id", bucket_cap
@@ -378,13 +404,8 @@ def minhash_lsh_pairs(
             )
             .dropDuplicates(["a_id", "b_id"])
         )
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda m: m == 1
-        )
-    )
     return (
-        cand.withColumn("est_jaccard", matches / F.lit(num_hashes))
+        cand.withColumn("est_jaccard", est_jaccard_col(num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("a_id", "b_id", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
@@ -581,4 +602,29 @@ WITH {_NORM_CTE.strip()}, toks AS (
 )
 SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def minhash_incremental_oracle_sql(
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    batch_mod: int = 3,
+) -> str:
+    """DuckDB SQL for the INCREMENTAL index probe
+    (``dedup_index.MinHashIndex``): recompute the full one-shot banded
+    pipeline over all documents, keep exactly the cross pairs — one side
+    in the probe batch (``doc_id % batch_mod = 0``), the other in the
+    indexed corpus — reshaped to (new_id, match_id). Valid because the
+    index reuses the one-shot path's signature/banding/verify functions
+    value-for-value, and candidate generation is per-pair (corpus-corpus
+    and batch-batch collisions cannot affect cross pairs)."""
+    full = minhash_lsh_oracle_sql(threshold, num_hashes, bands, shingle_n)
+    return f"""
+SELECT CASE WHEN a_id % {batch_mod} = 0 THEN a_id ELSE b_id END AS new_id,
+       CASE WHEN a_id % {batch_mod} = 0 THEN b_id ELSE a_id END AS match_id,
+       est_jaccard
+FROM ({full}) pairs
+WHERE (a_id % {batch_mod} = 0) <> (b_id % {batch_mod} = 0)
 """
