@@ -1167,6 +1167,34 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k served from the persisted incremental index
+    (``operators/similarity_index.IvfIndex``, new in r6): the corpus is
+    assigned to cells ONCE at ingest across two epochs (the second MoR)
+    into a lake SnapshotTable; the search probes 2 of 8 cells with the
+    query side broadcast and the probe-cell ``IN`` filter pushed into
+    the corpus parquet scan — corpus vectors are never re-assigned and
+    never shuffle. Same pinned quantizer as ``sim_ivf_topk``
+    (one-hot cluster directions, model-artifact shape), so the exact
+    brute-force oracle must match value-for-value."""
+    import tempfile
+
+    import numpy as np
+
+    from sql_graph_visualizer_spark.operators.similarity_index import IvfIndex
+
+    base = tempfile.mkdtemp(prefix="sgv_ivfidx_")
+    e = _clustered_embeddings(spark, sf_dir)
+    idx = IvfIndex.create(spark, os.path.join(base, "ix"), centroids=np.eye(8))
+    idx.add_batch(e.filter("vec_id % 2 = 0"), epoch_id=0)
+    idx.add_batch(e.filter("vec_id % 2 = 1"), epoch_id=1, mode="mor")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = idx.search(q, k=5, probes=2)
+    return got.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _rate_versions(spark: SparkSession) -> DataFrame:
     """Deterministic version table (the 'config active at time T' shape):
     10 keys × 10 versions every 3 days from 2023-12-31 — both engines
@@ -1433,12 +1461,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries (registration order) and drops the rest, so the window is
     # ROTATED each round (VERDICT r4 #5). Round 6: `text_decontam` — the
     # one registered query with no driver row ever (VERDICT r5 #3) — and
-    # the two NEW decontam variants (r5 #5) are registered FIRST; three
-    # entries holding multiple hash-exact driver rows whose families
-    # keep window representatives rotate to the tail (cdc_replay_salted,
-    # mm_resize_plan, graph_node_by_id). The full battery (every entry
-    # below) is additionally run locally at sf0.01 and sf0.1 and
-    # committed as CORRECTNESS_LOCAL.json / CORRECTNESS_SF01.json.
+    # the two NEW decontam variants (r5 #5) are registered FIRST; the
+    # two NEW r6 incremental-index queries (`dedup_incremental_minhash`,
+    # `sim_ivf_incremental`) take their family's slot; five entries
+    # holding hash-exact driver rows whose families keep window
+    # representatives rotate to the tail (cdc_replay_salted,
+    # mm_resize_plan, graph_node_by_id, dedup_simhash, sim_ivf_topk).
+    # The full battery (every entry below) is additionally run locally
+    # at sf0.01 and sf0.1 and committed as CORRECTNESS_LOCAL.json /
+    # CORRECTNESS_SF01.json.
     return {
         # --- rotated INTO the window this round ---
         "text_decontam": q_text_decontam,
@@ -1498,7 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,  # NEW r6
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_incremental": q_sim_ivf_incremental,  # NEW r6
         # --- rotated OUT (each holds 1-4 prior hash-exact driver rows;
         # family coverage inside the window is noted per entry) ---
         "cdc_final_state": q_cdc_final_state,  # mor/batch_op/stream siblings
@@ -1524,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize_plan": q_mm_resize_plan,  # mm_frame_sample in window
         "graph_node_by_id": q_graph_node_by_id,  # nodes_by_type/search in window
         "dedup_simhash": q_dedup_simhash,  # green r5 row; minhash family in window
+        "sim_ivf_topk": q_sim_ivf_topk,  # green r5 row; ivf_incremental in window
     }
 
 
@@ -2231,6 +2263,7 @@ FROM dims
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,
+        "sim_ivf_incremental": _IVF_CLUSTERED_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "text_quality": _text_quality_sql(),
     }

@@ -1,0 +1,128 @@
+"""Incremental IVF ANN index (operators/similarity_index.py):
+assign-once-at-ingest, exactly-once via the lake's epoch fence, search
+results value-equal to the one-shot ``ivf_topk`` with the same pinned
+quantizer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sql_graph_visualizer_spark.operators.similarity import ivf_topk
+from sql_graph_visualizer_spark.operators.similarity_index import IvfIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def _clustered(spark):
+    """The entry module's deterministic clustered embeddings (8 one-hot
+    cluster directions + small arithmetic noise) over the fixture ids —
+    every vector's true neighbours live in its own cluster."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id")
+    vid = F.col("vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: (
+            F.when(j.cast("long") == F.pmod(vid, F.lit(8)), F.lit(3.0)).otherwise(F.lit(0.0))
+            + F.pmod(vid * 31 + j.cast("long") * 17, F.lit(97)).cast("double") / 97.0 * 0.1
+        ),
+    )
+    return e.select("vec_id", vec.alias("embedding"))
+
+
+def _queries(emb):
+    return emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _rows(df):
+    return {(r.query_id, r.vec_id, r.cosine, r.rank) for r in df.collect()}
+
+
+def test_search_equals_one_shot_ivf(spark, tmp_path):
+    """The contract that makes the index trustworthy: an index built
+    incrementally (two epochs, one MoR) searches exactly like
+    ``ivf_topk`` over the full corpus with the same centroids."""
+    emb = _clustered(spark)
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=np.eye(8))
+    st0 = idx.add_batch(emb.filter("vec_id % 2 = 0"), epoch_id=0)
+    st1 = idx.add_batch(emb.filter("vec_id % 2 = 1"), epoch_id=1, mode="mor")
+    assert not st0.skipped and not st1.skipped
+    got = _rows(idx.search(_queries(emb), k=5, probes=2))
+    exp = _rows(ivf_topk(emb, _queries(emb), k=5, probes=2, centroids=np.eye(8)))
+    assert got == exp and got
+    # delta fold must not change results
+    idx.table.compact_deltas()
+    assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp
+
+
+def test_redelivered_epoch_is_fenced(spark, tmp_path):
+    emb = _clustered(spark).limit(50)
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=np.eye(8))
+    st = idx.add_batch(emb, epoch_id=0)
+    assert not st.skipped
+    n = idx.table.read().count()
+    st2 = idx.add_batch(emb, epoch_id=0)
+    assert st2.skipped
+    assert idx.table.read().count() == n
+
+
+def test_reingested_vector_reassigns_cell(spark, tmp_path):
+    """Same vec_id, new embedding in a later epoch → LWW row replacement
+    including the cell assignment (stale cells would silently lose the
+    vector from every search that probes its true cell)."""
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=np.eye(4))
+    v1 = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    idx.add_batch(v1, epoch_id=0)
+    assert [r.cell for r in idx.table.read().collect()] == [0]
+    v2 = spark.createDataFrame([(7, [0.0, 0.0, 1.0, 0.0])], "vec_id long, embedding array<double>")
+    idx.add_batch(v2, epoch_id=1)
+    rows = idx.table.read().collect()
+    assert len(rows) == 1 and rows[0].cell == 2
+    q = spark.createDataFrame(
+        [(99, [0.0, 0.0, 1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    hits = idx.search(q, k=1, probes=1).collect()
+    assert [(r.query_id, r.vec_id, r.cosine) for r in hits] == [(99, 7, 1.0)]
+
+
+def test_cold_open_pins_centroids_and_probe_plan(spark, tmp_path):
+    """The quantizer survives a cold open unchanged, and the search plan
+    broadcasts the QUERY side with the probe-cell IN filter pushed into
+    the corpus parquet scan — the corpus never shuffles (the 100 TB
+    contract)."""
+    path = str(tmp_path / "ix")
+    C = np.eye(8) + 0.01
+    IvfIndex.create(spark, path, centroids=C)
+    assert IvfIndex.exists(path)
+    idx = IvfIndex(spark, path)
+    want = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assert np.allclose(idx.centroids, want) and idx.dim == 8 and idx.cells == 8
+    emb = _clustered(spark)
+    idx.add_batch(emb, epoch_id=0)
+    plan = (
+        idx.search(_queries(emb), k=5, probes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
+    assert "PushedFilters: [" in plan and "In(cell" in plan
+
+
+def test_create_rejects_bad_centroids(spark, tmp_path):
+    with pytest.raises(ValueError):
+        IvfIndex.create(spark, str(tmp_path / "a"), centroids=np.zeros((2, 4)))
+    with pytest.raises(ValueError):
+        IvfIndex.create(spark, str(tmp_path / "b"), centroids=np.ones(4))
+
+
+def test_cell_stats_reports_skew(spark, tmp_path):
+    emb = _clustered(spark)
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=np.eye(8))
+    idx.add_batch(emb, epoch_id=0)
+    stats = {r.cell: r.n_vectors for r in idx.cell_stats().collect()}
+    assert sum(stats.values()) == emb.count()
+    assert set(stats) == set(range(8))  # clustered fixture hits every cell
