@@ -1115,6 +1115,31 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches
 
 
+def q_dedup_stream_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup detection through the STREAMING ingest wiring
+    (``streaming/dedup_stream.DedupIngest``, new in r6): two document
+    epochs are probe-then-indexed and the probe matches are MERGEd into
+    a second lake table (epoch-fenced, LWW) — the result is that table
+    READ BACK, so the row set proves the whole loop: probe → matches
+    merge → snapshot read. Same corpus/batch split and hash family as
+    ``dedup_incremental_minhash``, so the same recompute oracle is
+    value-exact."""
+    import tempfile
+
+    from sql_graph_visualizer_spark.operators.dedup_index import MinHashIndex
+    from sql_graph_visualizer_spark.streaming.dedup_stream import DedupIngest
+
+    base = tempfile.mkdtemp(prefix="sgv_dstream_")
+    docs = _read(spark, sf_dir, "documents")
+    idx = MinHashIndex.create(
+        spark, os.path.join(base, "ix"), num_hashes=64, bands=16, portable=True
+    )
+    ingest = DedupIngest(spark, idx, os.path.join(base, "matches"), threshold=0.5)
+    ingest.process(docs.filter("doc_id % 3 <> 0"), 0)
+    ingest.process(docs.filter("doc_id % 3 = 0"), 1)
+    return ingest.read()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 48-bit family (oracle recomputes
     token hashes, bit sums, packing, chunk banding and Hamming distances
@@ -1556,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node_by_id": q_graph_node_by_id,  # nodes_by_type/search in window
         "dedup_simhash": q_dedup_simhash,  # green r5 row; minhash family in window
         "sim_ivf_topk": q_sim_ivf_topk,  # green r5 row; ivf_incremental in window
+        # NEW r6, battery-covered; rotate into the r7 window
+        "dedup_stream_matches": q_dedup_stream_matches,
     }
 
 
@@ -2260,6 +2287,7 @@ FROM dims
 """,
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(threshold=0.5),
         "dedup_incremental_minhash": minhash_incremental_oracle_sql(threshold=0.5),
+        "dedup_stream_matches": minhash_incremental_oracle_sql(threshold=0.5),
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,
