@@ -112,6 +112,36 @@ def test_redelivered_epoch_is_fully_fenced(spark, tmp_path):
     assert ingest.read().count() == n
 
 
+def test_crash_window_with_expired_snapshot_fences_without_crashing(spark, tmp_path):
+    """If the original commit's snapshot aged out of retention before
+    the re-delivery, the matches cannot be recomputed — the epoch is
+    fenced in the matches table (empty merge) rather than crashing or
+    re-reporting wrong pairs. This is the documented keep_last caveat."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "ix"), **PARAMS)
+    ingest = DedupIngest(spark, idx, str(tmp_path / "matches"), threshold=THRESHOLD)
+    ingest.process(_docs_df(spark, DOCS[:4]), 0)
+    # index epoch 1 commits outside the loop (crash window), then the
+    # manifest history is truncated past it
+    idx.add_batch(
+        _docs_df(spark, DOCS[4:]), epoch_id=1, query_id=ingest.query_id, threshold=THRESHOLD
+    )
+    idx.add_batch(
+        _docs_df(spark, [(100, "fresh unrelated filler text for another epoch entirely")]),
+        epoch_id=2,
+        query_id=ingest.query_id,
+        threshold=THRESHOLD,
+    )
+    idx.table.expire_snapshots(keep_last=1, older_than_seconds=0)
+    assert ingest._find_epoch_version(1) is None  # history truly gone
+    before = ingest.read().count()
+    st, mst = ingest.process(_docs_df(spark, DOCS[4:]), 1)
+    assert st.skipped and not mst.skipped  # fenced empty merge commits the epoch
+    assert ingest.read().count() == before  # nothing (wrong) was written
+    # the fence holds on the next duplicate delivery
+    st2, mst2 = ingest.process(_docs_df(spark, DOCS[4:]), 1)
+    assert st2.skipped and mst2.skipped
+
+
 def test_resume_from_checkpoint_is_noop(spark, tmp_path):
     """Re-running the drained stream with the same checkpoint processes
     nothing new."""
