@@ -25,6 +25,8 @@ from pyspark.sql.window import Window
 from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
 from sql_graph_visualizer_spark.operators.compaction import compact_lww, final_state
 from sql_graph_visualizer_spark.operators.dedup import (
+    components_oracle_sql,
+    dedup_canonical,
     dedup_exact,
     minhash_incremental_oracle_sql,
     minhash_lsh_oracle_sql,
@@ -1140,6 +1142,21 @@ def q_dedup_stream_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.read()
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → decisions: the final stage of the dedup
+    pipeline (new r6). MinHash-LSH near-dup pairs (portable family) are
+    closed into connected components via iterative hash-min label
+    propagation (``dedup.connected_components``: co-partitioned
+    fixed-width label joins, lineage truncated per round), then every
+    document gets its component id and a canonical-survivor flag (min
+    doc id; isolated docs are their own singleton). The DuckDB oracle
+    closes the same pair set with a recursive-CTE transitive closure —
+    an independent algorithm agreeing value-for-value on every doc."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, portable=True).select("a_id", "b_id")
+    return dedup_canonical(docs, pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable 48-bit family (oracle recomputes
     token hashes, bit sums, packing, chunk banding and Hamming distances
@@ -1583,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,  # green r5 row; ivf_incremental in window
         # NEW r6, battery-covered; rotate into the r7 window
         "dedup_stream_matches": q_dedup_stream_matches,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -2288,6 +2306,7 @@ FROM dims
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(threshold=0.5),
         "dedup_incremental_minhash": minhash_incremental_oracle_sql(threshold=0.5),
         "dedup_stream_matches": minhash_incremental_oracle_sql(threshold=0.5),
+        "dedup_components": components_oracle_sql(minhash_lsh_oracle_sql(threshold=0.5)),
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,

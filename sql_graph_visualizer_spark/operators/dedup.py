@@ -628,3 +628,140 @@ SELECT CASE WHEN a_id % {batch_mod} = 0 THEN a_id ELSE b_id END AS new_id,
 FROM ({full}) pairs
 WHERE (a_id % {batch_mod} = 0) <> (b_id % {batch_mod} = 0)
 """
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph via
+    hash-min label propagation: every node starts labelled with its own
+    id; each round every node takes the min label among itself and its
+    neighbours; fixpoint = per-component min id.
+
+    This is the stage every real dedup pipeline needs between *pairs*
+    (what MinHash/SimHash/Jaccard emit) and *decisions* (which doc to
+    keep): duplicate relations are not transitive per-pair, so survivors
+    must be picked per connected component, not per pair.
+
+    Scale design (100 TB / 10^9 nodes):
+
+    - the edge list is shuffled ONCE onto the join key and persisted;
+      every round's ``edges ⋈ labels`` is then co-partitioned, so a
+      round costs two shuffles of the (fixed-width) label table only —
+      the payload-free ``(id, component)`` pairs, never document text.
+    - labels are ``localCheckpoint``-ed every round: lineage stays O(1)
+      instead of growing by two joins per round (the classic iterative-
+      algorithm OOM on long chains). On a real cluster with executor
+      loss to survive, swap in reliable ``checkpoint()`` against the
+      checkpoint dir — same call site.
+    - convergence is detected from the SAME materialized round (count of
+      strictly-decreased labels — labels are monotone non-increasing),
+      no extra join.
+    - rounds needed = graph diameter. Near-dup components are
+      overwhelmingly small/dense (dup clusters), so diameter is small in
+      practice; for adversarial long-chain graphs the alternating
+      large-star/small-star variant (Kiveris et al., "Connected
+      Components in MapReduce and Beyond") converges in O(log^2 n)
+      rounds with the same per-round plan shape.
+
+    Returns ``(id, component)`` for every id present in ``pairs``
+    (isolated docs are absent — callers union them back, see
+    ``dedup_canonical``).
+    """
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("component").alias("lbl")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        nxt = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                labels["id"],
+                labels["component"].alias("prev"),
+                F.least(
+                    labels["component"], F.coalesce(F.col("nbr"), labels["component"])
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("component") < F.col("prev")).count()
+        labels = nxt.select("id", "component")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Per-document dedup decision: assign every document its near-dup
+    component id and flag the canonical survivor (min doc id in the
+    component; isolated docs are their own canonical singleton).
+
+    Output: ``(doc_id, component, is_canonical)`` — downstream keeps
+    ``is_canonical`` rows and drops the rest. The component table is
+    tiny relative to the corpus (only docs that appear in a pair), so
+    the final join is broadcast-or-shuffle per AQE; document text never
+    moves."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    component = F.coalesce(comp["component"], docs[id_col])
+    return docs.join(comp, docs[id_col] == comp["id"], "left").select(
+        docs[id_col],
+        component.alias("component"),
+        (component == docs[id_col]).alias("is_canonical"),
+    )
+
+
+def components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for ``dedup_canonical`` over the ``documents``
+    table: transitive closure of the (tiny) pair set via a recursive
+    CTE, component = min reachable id, LEFT JOIN back to all docs.
+    ``pairs_sql`` is any full SELECT producing (a_id, b_id, ...) —
+    e.g. ``minhash_lsh_oracle_sql(...)`` — evaluated as a subquery."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({pairs_sql}) q
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""

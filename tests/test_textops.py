@@ -337,3 +337,38 @@ def test_ngram_contamination_normalized_catches_punct_variants(spark):
     # normalized: the variant is a verbatim hit (10 words -> 6 grams, all match)
     assert norm[1].contamination == 1.0 and norm[1].n_ngrams == 6
     assert 2 not in norm
+
+
+def test_connected_components_chain_clique_isolated(spark):
+    """Hash-min CC: a 4-chain (1-2-3-4), a triangle clique (10,11,12), a
+    2-clique (20,21) sharing no nodes — component = min id; chain proves
+    multi-hop propagation (pairs alone never connect 1 and 4)."""
+    from sql_graph_visualizer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "a_id long, b_id long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_canonical_flags_and_singletons(spark):
+    """dedup_canonical: every doc gets a component; isolated docs are
+    their own canonical; exactly one canonical (the min id) per
+    component; long path converges (diameter 7)."""
+    from sql_graph_visualizer_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    # path 3-4-5-6-7-8-9-10 (diameter 7), docs 1 and 2 isolated
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(3, 10)], "a_id long, b_id long"
+    )
+    rows = dedup_canonical(docs, pairs).collect()
+    assert len(rows) == 10
+    by_id = {r["doc_id"]: r for r in rows}
+    for i in (1, 2):
+        assert by_id[i]["component"] == i and by_id[i]["is_canonical"]
+    for i in range(3, 11):
+        assert by_id[i]["component"] == 3
+        assert by_id[i]["is_canonical"] == (i == 3)
