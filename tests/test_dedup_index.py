@@ -150,3 +150,54 @@ def test_mor_mode_and_compaction_preserve_probe(spark, tmp_path):
         {r.doc_id for r in batch.select("doc_id").collect()},
     )
     assert after == full
+
+
+def test_probe_and_add_batch_mid_progressive_migration(spark, tmp_path):
+    """The index's lake table is exactly the table an operator would
+    grow-rebucket at corpus scale — probe and add_batch must be correct
+    WHILE a progressive migration frontier is mid-table (readers route
+    per-bucket via the frontier CASE; the new batch's merge lands on the
+    evolving spec), and after rebucket_finish."""
+    docs = _docs(spark)
+    corpus = docs.filter("doc_id % 3 <> 0")
+    batch = docs.filter("doc_id % 3 = 0")
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = _cross_pairs_from_full(minhash_lsh_pairs(docs, threshold=0.5), batch_ids)
+    assert full, "fixture must contain cross near-dups"
+
+    idx = MinHashIndex.create(spark, str(tmp_path / "ix"), num_buckets=4)
+    idx.add_batch(corpus, epoch_id=0, threshold=0.5)
+
+    idx.table.rebucket_start(8)
+    idx.table.rebucket_step(max_buckets=1)  # frontier mid-table: 1 of 4 migrated
+    mid = {
+        (r.new_id, r.match_id, r.est_jaccard)
+        for r in idx.probe(batch, threshold=0.5).collect()
+    }
+    assert mid == full
+
+    # indexing a batch mid-migration: the merge routes via the same
+    # frontier spec; the probe half of add_batch stays pre-batch-scoped
+    matches, st = idx.add_batch(batch, epoch_id=1, threshold=0.5)
+    got = {(r.new_id, r.match_id, r.est_jaccard) for r in matches.collect()}
+    assert not st.skipped and got == full
+
+    idx.table.rebucket_step(max_buckets=4)
+    idx.table.rebucket_finish()
+    # post-migration: the batch is now corpus too, so re-probing it
+    # finds the cross pairs PLUS intra-batch pairs (both orientations —
+    # each batch doc reports the other); self-matches stay excluded
+    intra = {
+        (r.a_id, r.b_id, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r.a_id in batch_ids and r.b_id in batch_ids
+    }
+    expected_after = full | {(a, b, j) for a, b, j in intra} | {
+        (b, a, j) for a, b, j in intra
+    }
+    after = {
+        (r.new_id, r.match_id, r.est_jaccard)
+        for r in idx.probe(batch, threshold=0.5).collect()
+    }
+    assert after == expected_after
+    assert idx.table.manifest()["num_buckets"] == 8

@@ -126,3 +126,32 @@ def test_cell_stats_reports_skew(spark, tmp_path):
     stats = {r.cell: r.n_vectors for r in idx.cell_stats().collect()}
     assert sum(stats.values()) == emb.count()
     assert set(stats) == set(range(8))  # clustered fixture hits every cell
+
+
+def test_search_and_ingest_mid_progressive_migration(spark, tmp_path):
+    """A corpus-scale ANN index is exactly the table an operator would
+    grow-rebucket — search (cell-filtered scan) and add_batch must stay
+    one-shot-equal while a migration frontier is mid-table, and after
+    rebucket_finish."""
+    emb = _clustered(spark)
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=np.eye(8), num_buckets=4)
+    idx.add_batch(emb.filter("vec_id % 2 = 0"), epoch_id=0)
+    exp_half = _rows(
+        ivf_topk(
+            emb.filter("vec_id % 2 = 0"), _queries(emb), k=5, probes=2, centroids=np.eye(8)
+        )
+    )
+    exp_full = _rows(ivf_topk(emb, _queries(emb), k=5, probes=2, centroids=np.eye(8)))
+
+    idx.table.rebucket_start(8)
+    idx.table.rebucket_step(max_buckets=1)  # frontier mid-table: 1 of 4 migrated
+    assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp_half
+
+    st = idx.add_batch(emb.filter("vec_id % 2 = 1"), epoch_id=1)  # lands mid-migration
+    assert not st.skipped
+    assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp_full
+
+    idx.table.rebucket_step(max_buckets=4)
+    idx.table.rebucket_finish()
+    assert idx.table.manifest()["num_buckets"] == 8
+    assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp_full
