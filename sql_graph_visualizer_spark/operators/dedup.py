@@ -711,6 +711,14 @@ def connected_components(
         labels = nxt.select("id", "component")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        # unconverged labels can SPLIT a component (docs silently land in
+        # different clusters) — that is a wrong answer, never return it
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(graph diameter exceeds the bound); raise max_iterations"
+        )
     edges.unpersist()
     return labels
 

@@ -372,3 +372,24 @@ def test_dedup_canonical_flags_and_singletons(spark):
     for i in range(3, 11):
         assert by_id[i]["component"] == 3
         assert by_id[i]["is_canonical"] == (i == 3)
+
+
+def test_connected_components_guards(spark):
+    """Empty pair set → every doc is its own canonical singleton; an
+    iteration budget smaller than the diameter must raise, never return
+    silently-split components."""
+    import pytest as _pytest
+
+    from sql_graph_visualizer_spark.operators.dedup import (
+        connected_components,
+        dedup_canonical,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    rows = {r["doc_id"]: r for r in dedup_canonical(docs, empty).collect()}
+    assert all(rows[i]["component"] == i and rows[i]["is_canonical"] for i in (1, 2))
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a_id long, b_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iterations=2)
