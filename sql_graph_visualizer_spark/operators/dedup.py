@@ -638,6 +638,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 50,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph via
     hash-min label propagation: every node starts labelled with its own
@@ -663,18 +664,22 @@ def connected_components(
     - convergence is detected from the SAME materialized round (count of
       strictly-decreased labels — labels are monotone non-increasing),
       no extra join.
-    - rounds needed = graph diameter. Near-dup components are
-      overwhelmingly small/dense (dup clusters), so diameter is small in
-      practice; for adversarial long-chain graphs the alternating
-      large-star/small-star variant (Kiveris et al., "Connected
-      Components in MapReduce and Beyond") converges in O(log^2 n)
-      rounds with the same per-round plan shape.
+    - rounds needed = graph diameter (hash-min). Near-dup components
+      are overwhelmingly small/dense (dup clusters), so diameter is
+      small in practice; for adversarial long-chain graphs pass
+      ``algorithm="star"`` — the alternating large-star/small-star
+      algorithm (``_star_components``) converges in O(log^2 n) rounds
+      regardless of diameter, same output contract.
 
     Returns ``(id, component)`` for every id present in ``pairs``
     (isolated docs are absent — callers union them back, see
     ``dedup_canonical``).
     """
     half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    if algorithm == "star":
+        return _star_components(half, max_iterations)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm {algorithm!r} (hashmin | star)")
     edges = (
         half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -721,6 +726,80 @@ def connected_components(
         )
     edges.unpersist()
     return labels
+
+
+def _star_edges_once(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One large-star + small-star round over a canonical (a > b) edge
+    set; returns (large_star_output, small_star_output)."""
+    nb = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("mn", F.least("mn", F.col("u")))
+    large = (
+        nb.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sm = large.groupBy("a").agg(F.min("b").alias("mn"))
+    small = (
+        sm.select("a", F.col("mn").alias("b"))
+        .unionByName(
+            large.join(sm, "a")
+            .filter(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return large, small
+
+
+def _star_components(half: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round, large-star hangs every strictly-larger neighbour of a
+    node onto its neighbourhood minimum, then small-star re-hangs the
+    smaller neighbours — O(log^2 n) rounds regardless of graph
+    DIAMETER, unlike hash-min propagation whose round count is the
+    diameter. Same per-round plan shape: narrow (long, long) edge
+    frames only, fixed-width hash aggregations, no per-node neighbour
+    lists collected (hot nodes never build an in-memory adjacency).
+    Fixpoint: the edge set is a union of stars centred at each
+    component's min id. Output contract identical to hash-min."""
+    nodes = (
+        half.select(F.col("src").alias("id"))
+        .unionByName(half.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    edges = (
+        half.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        _, small = _star_edges_once(edges)
+        small = small.localCheckpoint(eager=True)
+        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
+        )
+    stars = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return (
+        nodes.join(stars, "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce("component", F.col("id"))).alias("component"))
+    )
 
 
 def dedup_canonical(

@@ -393,3 +393,29 @@ def test_connected_components_guards(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a_id long, b_id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iterations=2)
+
+
+def test_star_components_equal_hashmin(spark):
+    """The large-star/small-star variant must produce the identical
+    (id, component) table as hash-min on: chain+clique mix, a diameter-40
+    path (where hash-min would need 40 rounds but star stays in its
+    O(log^2 n) budget), and a seeded random graph."""
+    import random
+
+    from sql_graph_visualizer_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    rand_edges = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(45)]
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        [(i, i + 1) for i in range(100, 140)],  # path, diameter 40
+        rand_edges,  # includes self-pairs and duplicates
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        hm = {(r.id, r.component) for r in connected_components(df).collect()}
+        st = {
+            (r.id, r.component)
+            for r in connected_components(df, algorithm="star", max_iterations=12).collect()
+        }
+        assert st == hm and st
