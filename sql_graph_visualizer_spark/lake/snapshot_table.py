@@ -159,16 +159,34 @@ def _fold_lww(staged: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def _advance_watermark(
-    commit: dict[str, Any], cur: dict[str, Any], query_id: str, max_seq: int
+    commit: dict[str, Any],
+    cur: dict[str, Any],
+    query_id: str,
+    max_seq: int,
+    ordered: bool = True,
 ) -> None:
     """Advance the per-query committed-seq watermark inside a merge
     commit (same atomic manifest write as the data). The watermark is
-    the table's replay-horizon knowledge: a writer's future epochs
-    carry only LSNs above its watermark (re-delivery of committed
-    epochs is fenced), so ``min(watermarks)`` bounds the smallest LSN
-    that can still arrive — the tombstone-expiry safety line."""
+    the table's replay-horizon knowledge — and it is an ORDERED-DELIVERY
+    CLAIM by the writer: "my future epochs carry only LSNs above this".
+    ``min(watermarks)`` then bounds the smallest LSN that can still
+    arrive — the tombstone-expiry safety line.
+
+    ``ordered=False`` is for writers that CANNOT make that claim (a
+    Spark file-stream source delivers same-mtime files in arbitrary
+    order, so a later epoch may carry smaller LSNs than an earlier
+    one). Such a writer must not advance the watermark — and it must
+    not stay absent either, because on a multi-writer table the OTHER
+    writers' watermarks would then unlock expiry that the unordered
+    writer can still resurrect past. It instead PINS the horizon by
+    registering watermark -1 (safe horizon 0 = nothing expirable; LSNs
+    are non-negative) until the operator, knowing the stream drained,
+    calls ``advance_watermark()`` or retires it via
+    ``drop_watermark()``."""
     wm = dict(cur.get("watermarks") or {})
-    if max_seq >= 0:
+    if not ordered:
+        wm.setdefault(query_id, -1)
+    elif max_seq >= 0:
         wm[query_id] = max(int(wm.get(query_id, -1)), int(max_seq))
     commit["watermarks"] = wm
 
@@ -906,6 +924,7 @@ class SnapshotTable:
         broadcast_max_keys: int = 4_000_000,
         prepared: PreparedMerge | None = None,
         mode: str = "cow",
+        ordered_writer: bool = True,
     ) -> MergeStats:
         """MERGE INTO table USING compact(batch) ON key:
 
@@ -938,6 +957,14 @@ class SnapshotTable:
         falls back to a keyed shuffle semi-join on (key, order), so a
         mis-configured giant epoch degrades to an extra shuffle instead
         of a driver OOM.
+
+        ``ordered_writer``: whether this writer promises its FUTURE
+        epochs carry only LSNs above this batch's max (the normal shape
+        for binlog tailing and seq-partitioned batch replay). Pass
+        False for sources that deliver epochs out of seq order (Spark
+        file streams over same-mtime files): the writer then pins the
+        tombstone-expiry horizon instead of unsoundly advancing it —
+        see ``_advance_watermark`` and ``advance_watermark()``.
         """
         t0 = time.monotonic()
         m = self.manifest()
@@ -1113,7 +1140,7 @@ class SnapshotTable:
                     c["epochs"] = dict(cur["epochs"])
                     if epoch_id >= 0:
                         c["epochs"][query_id] = epoch_id
-                    _advance_watermark(c, cur, query_id, prepared.max_seq)
+                    _advance_watermark(c, cur, query_id, prepared.max_seq, ordered_writer)
                     c["summary"] = {
                         "operation": "merge",
                         "mode": "mor",
@@ -1208,7 +1235,7 @@ class SnapshotTable:
                     c["epochs"] = dict(cur["epochs"])
                     if epoch_id >= 0:
                         c["epochs"][query_id] = epoch_id
-                    _advance_watermark(c, cur, query_id, prepared.max_seq)
+                    _advance_watermark(c, cur, query_id, prepared.max_seq, ordered_writer)
                     c["summary"] = {
                         "operation": "merge",
                         "mode": "cow",
@@ -1368,6 +1395,34 @@ class SnapshotTable:
         committed = self._commit_with_rebase(build, -1, "drop-watermark", m, validate)
         return int(committed["version"])
 
+    def advance_watermark(self, query_id: str, seq: int) -> int:
+        """Explicitly advance a writer's committed-seq watermark — the
+        operator's declaration that every event with LSN ≤ ``seq`` from
+        this writer has been delivered. This is how an UNORDERED writer
+        (``merge_upsert(ordered_writer=False)``, e.g. a drained
+        ``replay_stream`` over a file source) unpins the tombstone
+        horizon: per-epoch merges could not make the ordering claim, but
+        after the stream drains the caller provably can. Never
+        regresses; the commit is a tiny manifest-only CAS."""
+        m = self.manifest()
+
+        def build(cur: dict[str, Any]) -> dict[str, Any]:
+            c = dict(cur)
+            wm = dict(cur.get("watermarks") or {})
+            wm[query_id] = max(int(wm.get(query_id, -1)), int(seq))
+            c["watermarks"] = wm
+            c["version"] = cur["version"] + 1
+            c["parent"] = cur["version"]
+            c["summary"] = {
+                "operation": "advance-watermark",
+                "query_id": query_id,
+                "seq": int(seq),
+            }
+            return c
+
+        committed = self._commit_with_rebase(build, -1, "advance-watermark", m, None)
+        return int(committed["version"])
+
     def expire_tombstones(
         self, older_than_seq: int | None = None, force: bool = False
     ) -> int:
@@ -1393,6 +1448,11 @@ class SnapshotTable:
             if safe is None:
                 return self.manifest()["version"]  # nothing provably safe
             older_than_seq = safe
+        if older_than_seq <= 0:
+            # LSNs are non-negative, so nothing can be below this horizon
+            # — skip the full-table rewrite (this is the steady state
+            # while an unordered writer pins the horizon at -1)
+            return self.manifest()["version"]
         elif not force and safe is not None and older_than_seq > safe:
             raise TombstoneHorizonError(
                 f"horizon {older_than_seq} exceeds safe horizon {safe} "

@@ -45,6 +45,7 @@ def merge_with_retry(
     conflict_retries: int = 2,
     prepared: PreparedMerge | None = None,
     merge_mode: str = "cow",
+    ordered_writer: bool = True,
 ) -> MergeStats:
     """MERGE an epoch, re-running it on ``CommitConflictError``.
 
@@ -60,7 +61,7 @@ def merge_with_retry(
         try:
             return table.merge_upsert(
                 batch, epoch_id=epoch_id, query_id=query_id, prepared=prepared,
-                mode=merge_mode,
+                mode=merge_mode, ordered_writer=ordered_writer,
             )
         except CommitConflictError:
             prepared = None  # recompute winners against the new base
@@ -125,6 +126,7 @@ def replay_stream(
     merge_mode: str = "cow",
     auto_compact_layers: int | None = None,
     auto_compact_async: bool = False,
+    ordered_source: bool = False,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -146,7 +148,22 @@ def replay_stream(
     loses its token race re-triggers next epoch). Safe concurrently: a
     MoR delta commit rebases over a compaction, a compaction racing a
     merge yields, and the shared table instance's metadata caches are
-    lock-guarded."""
+    lock-guarded.
+
+    ``ordered_source``: Spark's file stream delivers same-mtime files in
+    ARBITRARY order, so by default this writer cannot claim "future
+    epochs carry only higher LSNs" and therefore must not advance the
+    table's tombstone-expiry watermark — it pins the horizon instead
+    (``merge_upsert(ordered_writer=False)``), keeping concurrent
+    ``expire_tombstones()`` a provably-safe no-op for this writer's
+    keys. Without the pin, an out-of-order high-LSN epoch would raise
+    the horizon, a concurrent expiry would drop a tombstone, and a
+    later low-LSN epoch would RESURRECT the deleted row (reproduced in
+    ``test_replay.py::test_unordered_stream_pins_tombstone_horizon``).
+    Set True only when file arrival genuinely follows LSN order
+    (binlog segment shipping with monotone mtimes); after a drain, the
+    operator can unpin explicitly with
+    ``table.advance_watermark(query_id, max_committed_seq)``."""
     stats: list[MergeStats] = []
     from concurrent.futures import ThreadPoolExecutor
 
@@ -171,6 +188,7 @@ def replay_stream(
         st = merge_with_retry(
             table, prepared, int(epoch_id), query_id,
             conflict_retries=conflict_retries, merge_mode=merge_mode,
+            ordered_writer=ordered_source,
         )
         st.duration_ms = int((time.monotonic() - t0) * 1000)
         stats.append(st)

@@ -318,3 +318,61 @@ def test_drop_watermark_unpins_horizon_and_conflicts_on_live_writer(spark, tmp_p
         t.drop_watermark("a")
     assert fired["done"]
     assert t.manifest()["watermarks"]["a"] == 600  # nothing was erased
+
+
+def test_unordered_stream_pins_tombstone_horizon(spark, tmp_path):
+    """The r6 soundness fix. A SINGLE writer whose epochs arrive out of
+    seq order (what Spark's file stream does with same-mtime files —
+    replay_stream's default regime): the max-committed-seq watermark
+    overstates what has arrived, so advancing it per epoch and expiring
+    concurrently resurrects deletes. Reproduced with the ordering claim
+    wrongly asserted, then shown blocked by the unordered-writer pin,
+    then unpinned explicitly after the drain."""
+    import pytest
+
+    from sql_graph_visualizer_spark.lake.snapshot_table import TombstoneHorizonError
+
+    rows = (
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp"
+    )
+
+    def ev(seq, op, conv, turn, text):
+        return (seq, op, conv, turn, "user", text, None, None)
+
+    # file A (high seqs): insert + delete of K. file B (low seq): the
+    # pre-delete update. The stream happens to process A before B.
+    file_a = [ev(10, "insert", "K", 0, "v1"), ev(500, "delete", "K", 0, None)]
+    file_b = [ev(100, "update", "K", 0, "v2-stale")]
+
+    # (1) reproduce: claiming ordered delivery from an unordered stream
+    t = SnapshotTable.create(spark, str(tmp_path / "buggy"), SCHEMA, KEYS, num_buckets=4)
+    t.merge_upsert(spark.createDataFrame(file_a, rows), epoch_id=0, query_id="s")
+    assert t.safe_tombstone_horizon() == 501  # overstated: B hasn't arrived
+    t.expire_tombstones()  # "safe" by the bogus claim — drops K's tombstone
+    t.merge_upsert(spark.createDataFrame(file_b, rows), epoch_id=1, query_id="s")
+    assert t.read().filter("conv_id = 'K'").count() == 1  # the bug: K resurrected
+
+    # (2) the fix: an unordered writer pins the horizon instead
+    t2 = SnapshotTable.create(spark, str(tmp_path / "fixed"), SCHEMA, KEYS, num_buckets=4)
+    t2.merge_upsert(
+        spark.createDataFrame(file_a, rows), epoch_id=0, query_id="s",
+        ordered_writer=False,
+    )
+    assert t2.safe_tombstone_horizon() == 0  # pinned: nothing expirable
+    v = t2.manifest()["version"]
+    assert t2.expire_tombstones() == v  # no-op, no full-table rewrite
+    with pytest.raises(TombstoneHorizonError):
+        t2.expire_tombstones(older_than_seq=501)
+    t2.merge_upsert(
+        spark.createDataFrame(file_b, rows), epoch_id=1, query_id="s",
+        ordered_writer=False,
+    )
+    assert t2.read().filter("conv_id = 'K'").count() == 0  # still deleted
+
+    # (3) drained: the operator can prove the ordering claim and unpin
+    t2.advance_watermark("s", 500)
+    assert t2.safe_tombstone_horizon() == 501
+    t2.expire_tombstones()
+    assert t2.read(system=True).filter("_deleted").count() == 0
+    assert t2.read().filter("conv_id = 'K'").count() == 0

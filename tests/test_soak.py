@@ -89,7 +89,11 @@ def test_soak_sustained_replay_with_concurrent_maintenance(spark, tmp_path):
             lineage=lineage,
             conflict_retries=6,
         )
-        deadline = time.time() + 120
+        # generous: an idle box finishes in ~30 s and exits this loop early;
+        # a box contended by sibling Spark JVMs must not cut the replay
+        # short (a partial replay fails final-state equality for the
+        # wrong reason)
+        deadline = time.time() + 300
         while time.time() < deadline:
             if query.exception() is not None:
                 break  # stream died — surface it via awaitTermination below
@@ -115,6 +119,17 @@ def test_soak_sustained_replay_with_concurrent_maintenance(spark, tmp_path):
     epochs = sorted(int(r.epoch_id) for r in lin)
     assert epochs == sorted(set(epochs))  # no double-records
     assert len(epochs) == len(query.merge_stats)
+    # mid-stream the unordered file source pinned the horizon (r6 fix:
+    # files arrive in arbitrary seq order, so per-epoch expiry would be
+    # unsound) — drained now, the operator proves the claim and unpins
+    assert table.safe_tombstone_horizon() == 0
+    max_seq = log.agg({"seq": "max"}).collect()[0][0]
+    table.advance_watermark("cdc-replay", int(max_seq))
+    table.expire_tombstones()
+    assert table.read(system=True).filter("_deleted").count() == 0
+    assert sorted(map(tuple, table.read().collect())) == sorted(
+        map(tuple, expected.collect())
+    )
     # post-run expiry without grace: current state survives full cleanup
     before = sorted(map(tuple, table.read().collect()))
     table.expire_snapshots(keep_last=1)
@@ -230,7 +245,11 @@ def test_soak_mor_replay_with_concurrent_delta_compaction(spark, tmp_path):
             conflict_retries=6,
             merge_mode="mor",
         )
-        deadline = time.time() + 120
+        # generous: an idle box finishes in ~30 s and exits this loop early;
+        # a box contended by sibling Spark JVMs must not cut the replay
+        # short (a partial replay fails final-state equality for the
+        # wrong reason)
+        deadline = time.time() + 300
         while time.time() < deadline:
             if query.exception() is not None:
                 break
