@@ -182,7 +182,13 @@ def _advance_watermark(
     registering watermark -1 (safe horizon 0 = nothing expirable; LSNs
     are non-negative) until the operator, knowing the stream drained,
     calls ``advance_watermark()`` or retires it via
-    ``drop_watermark()``."""
+    ``drop_watermark()``.
+
+    A pre-existing entry is kept as-is on the unordered path (claims
+    never regress): reusing one ``query_id`` across an ordered backfill
+    and an unordered tail keeps the backfill's claim, which is only
+    sound if the tail carries strictly later LSNs — use distinct
+    query_ids per phase when that isn't guaranteed."""
     wm = dict(cur.get("watermarks") or {})
     if not ordered:
         wm.setdefault(query_id, -1)
