@@ -243,6 +243,9 @@ class MergeStats:
     # observable that distinguishes CoW (∝ touched-bucket bytes) from MoR
     # (∝ |batch|); also recorded in the manifest summary
     bytes_written: int = 0
+    # batch-wide max LSN of a committed (non-skipped) epoch; -1 when
+    # unknown — lets a drained replay compute the watermark to unpin with
+    max_seq: int = -1
 
     def as_dict(self) -> dict[str, Any]:
         return self.__dict__.copy()
@@ -1297,6 +1300,7 @@ class SnapshotTable:
                 stats_ms=prepared.stats_ms,
                 write_ms=int((time.monotonic() - t_stats) * 1000),
                 bytes_written=bytes_written,
+                max_seq=prepared.max_seq,
             )
         finally:
             winners.unpersist()
@@ -1362,7 +1366,7 @@ class SnapshotTable:
             return None
         return min(int(v) for v in wm.values()) + 1
 
-    def drop_watermark(self, query_id: str) -> int:
+    def drop_watermark(self, query_id: str, force: bool = False) -> int:
         """Retire a decommissioned writer's committed-seq watermark.
 
         The manifest watermarks map only grows (ADVICE r5): a one-shot
@@ -1374,11 +1378,27 @@ class SnapshotTable:
         commit conflicts (rather than silently losing the new value) if
         the supposedly-dead writer advances its watermark concurrently.
         Per-writer watermarks are visible in ``delta_stats()`` so the
-        laggard pinning the horizon can be identified first."""
+        laggard pinning the horizon can be identified first.
+
+        An UNORDERED writer's pin (watermark -1) cannot be dropped
+        without ``force=True``: such a writer declared it can make no
+        ordering claim, so the advanced-concurrently conflict check
+        above can never detect it being alive (its value stays -1 by
+        design) — silently dropping the pin would re-open the exact
+        resurrection window it exists to close. The safe retirement
+        path is ``advance_watermark()`` after a provable drain."""
         m = self.manifest()
         seen = (m.get("watermarks") or {}).get(query_id)
         if seen is None:
             return int(m["version"])  # nothing to retire
+        if int(seen) < 0 and not force:
+            raise TombstoneHorizonError(
+                f"writer {query_id!r} on {self.path} holds an unordered-"
+                "delivery pin (watermark -1); liveness is undetectable from "
+                "the watermark, so dropping it could resurrect deletes. "
+                "Unpin with advance_watermark() after a provable drain, or "
+                "pass force=True if the writer is provably dead."
+            )
 
         def build(cur: dict[str, Any]) -> dict[str, Any]:
             c = dict(cur)

@@ -633,6 +633,20 @@ WHERE (a_id % {batch_mod} = 0) <> (b_id % {batch_mod} = 0)
 # ------------------------------------------------- connected components
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a ``localCheckpoint``'s executor blocks.
+    ``DataFrame.unpersist()`` does NOT free them (the blocks belong to
+    the checkpointed RDD inside the plan's LogicalRDD, otherwise
+    reclaimed only when the JVM eventually GCs the reference) — without
+    this, an iterative loop pins one full table copy per round instead
+    of O(1). Best-effort over an internal handle; callers must not use
+    ``df`` afterwards."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -692,39 +706,46 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("src"), F.col("component").alias("lbl")),
-                "src",
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("id").alias("src"), F.col("component").alias("lbl")),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nbr"))
             )
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbr"))
-        )
-        nxt = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-            .select(
-                labels["id"],
-                labels["component"].alias("prev"),
-                F.least(
-                    labels["component"], F.coalesce(F.col("nbr"), labels["component"])
-                ).alias("component"),
+            nxt = (
+                labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+                .select(
+                    labels["id"],
+                    labels["component"].alias("prev"),
+                    F.least(
+                        labels["component"], F.coalesce(F.col("nbr"), labels["component"])
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = nxt.filter(F.col("component") < F.col("prev")).count()
-        labels = nxt.select("id", "component")
-        if changed == 0:
-            break
-    else:
+            changed = nxt.filter(F.col("component") < F.col("prev")).count()
+            # nxt is fully materialized — the previous round's checkpoint
+            # blocks are dead weight from here; free them so peak storage
+            # is O(1) table copies, not O(rounds)
+            prev_ckpt, labels = labels, nxt.select("id", "component")
+            _free_checkpoint(prev_ckpt)
+            if changed == 0:
+                break
+        else:
+            _free_checkpoint(labels)
+            # unconverged labels can SPLIT a component (docs silently land
+            # in different clusters) — that is a wrong answer, never
+            # return it
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds "
+                "(graph diameter exceeds the bound); raise max_iterations"
+            )
+    finally:
         edges.unpersist()
-        # unconverged labels can SPLIT a component (docs silently land in
-        # different clusters) — that is a wrong answer, never return it
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds "
-            "(graph diameter exceeds the bound); raise max_iterations"
-        )
-    edges.unpersist()
     return labels
 
 
@@ -785,11 +806,13 @@ def _star_components(half: DataFrame, max_iterations: int) -> DataFrame:
     for _ in range(max_iterations):
         _, small = _star_edges_once(edges)
         small = small.localCheckpoint(eager=True)
-        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
-            edges = small
+        converged = small.count() == edges.count() and small.exceptAll(edges).isEmpty()
+        prev_ckpt, edges = edges, small
+        _free_checkpoint(prev_ckpt)  # comparison done; round k-1 is dead
+        if converged:
             break
-        edges = small
     else:
+        _free_checkpoint(edges)
         raise RuntimeError(
             f"star connected_components did not converge in {max_iterations} "
             "rounds; raise max_iterations"
@@ -817,13 +840,24 @@ def dedup_canonical(
     ``is_canonical`` rows and drops the rest. The component table is
     tiny relative to the corpus (only docs that appear in a pair), so
     the final join is broadcast-or-shuffle per AQE; document text never
-    moves."""
+    moves.
+
+    The survivor is the min doc id PRESENT IN ``docs`` per component —
+    not the raw min label — so a pair referencing an id absent from
+    ``docs`` (stale index, pairs computed before a filter) can never
+    leave a component with zero canonical rows and silently delete the
+    whole cluster downstream. Costs one extra narrow shuffle on
+    (component, id) pairs."""
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
     component = F.coalesce(comp["component"], docs[id_col])
-    return docs.join(comp, docs[id_col] == comp["id"], "left").select(
-        docs[id_col],
-        component.alias("component"),
-        (component == docs[id_col]).alias("is_canonical"),
+    assigned = docs.join(comp, docs[id_col] == comp["id"], "left").select(
+        docs[id_col], component.alias("component")
+    )
+    mins = assigned.groupBy("component").agg(F.min(id_col).alias("__cmin"))
+    return assigned.join(mins, "component").select(
+        F.col(id_col),
+        F.col("component"),
+        (F.col(id_col) == F.col("__cmin")).alias("is_canonical"),
     )
 
 
@@ -847,8 +881,10 @@ WITH RECURSIVE pairs AS (
 ), comp AS (
   SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
 )
-SELECT d.doc_id,
-       coalesce(c.component, d.doc_id) AS component,
-       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+SELECT doc_id, component,
+       doc_id = min(doc_id) OVER (PARTITION BY component) AS is_canonical
+FROM (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+) assigned
 """

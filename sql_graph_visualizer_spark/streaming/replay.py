@@ -127,6 +127,7 @@ def replay_stream(
     auto_compact_layers: int | None = None,
     auto_compact_async: bool = False,
     ordered_source: bool = False,
+    unpin_on_drain: bool = True,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -161,9 +162,17 @@ def replay_stream(
     later low-LSN epoch would RESURRECT the deleted row (reproduced in
     ``test_replay.py::test_unordered_stream_pins_tombstone_horizon``).
     Set True only when file arrival genuinely follows LSN order
-    (binlog segment shipping with monotone mtimes); after a drain, the
-    operator can unpin explicitly with
-    ``table.advance_watermark(query_id, max_committed_seq)``."""
+    (binlog segment shipping with monotone mtimes).
+
+    ``unpin_on_drain``: a finished ``availableNow`` run delivered every
+    file that existed at query start, so the ordering claim IS provable
+    at drain time — the bounded mode unpins automatically at the max
+    committed LSN (keeping the drain-then-``expire_tombstones()``
+    pattern working). Pass False when later runs can deliver files with
+    smaller LSNs (late segment re-shipping). Sustained mode never
+    unpins; the operator does it explicitly with
+    ``table.advance_watermark(query_id, max_committed_seq)`` after
+    stopping a provably-drained stream."""
     stats: list[MergeStats] = []
     from concurrent.futures import ThreadPoolExecutor
 
@@ -219,6 +228,19 @@ def replay_stream(
                 compact_pool.shutdown(wait=True)
         if lineage is not None:
             lineage.flush()
+        if unpin_on_drain and not ordered_source:
+            # the drained availableNow run delivered every file that
+            # existed at query start, so the ordering claim is provable
+            # NOW even though it wasn't per-epoch: unpin the tombstone
+            # horizon at the max committed LSN. Without this, the
+            # drain-then-expire_tombstones() pattern silently becomes a
+            # permanent no-op (the pin never clears). Epochs fenced as
+            # re-delivered carry no LSN knowledge and are skipped; pass
+            # unpin_on_drain=False when files with SMALLER LSNs can
+            # still arrive in a later run (late segment re-shipping).
+            mx = max((s.max_seq for s in stats if not s.skipped), default=-1)
+            if mx >= 0:
+                table.advance_watermark(query_id, mx)
         return stats
     # sustained mode (the reference's 5s poll loop): hand the live query
     # back so the caller can monitor/stop it; `stats` fills as epochs land

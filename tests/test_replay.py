@@ -376,3 +376,43 @@ def test_unordered_stream_pins_tombstone_horizon(spark, tmp_path):
     t2.expire_tombstones()
     assert t2.read(system=True).filter("_deleted").count() == 0
     assert t2.read().filter("conv_id = 'K'").count() == 0
+
+
+def test_unordered_pin_lifecycle_guards(spark, tmp_path):
+    """The pin's two escape hatches stay safe: (a) drop_watermark on a
+    pinned writer refuses without force (liveness of a pinned writer is
+    undetectable from the watermark, so a silent drop re-opens the
+    resurrection window); (b) a drained availableNow replay_stream
+    unpins automatically, so drain-then-expire keeps working."""
+    import pytest
+
+    from sql_graph_visualizer_spark.lake.snapshot_table import TombstoneHorizonError
+
+    rows = (
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=4)
+    t.merge_upsert(
+        spark.createDataFrame([(10, "insert", "K", 0, "user", "v1", None, None)], rows),
+        epoch_id=0, query_id="s", ordered_writer=False,
+    )
+    assert t.safe_tombstone_horizon() == 0  # pinned
+    with pytest.raises(TombstoneHorizonError, match="unordered-delivery pin"):
+        t.drop_watermark("s")
+    t.drop_watermark("s", force=True)  # provably-dead escape hatch
+    assert t.safe_tombstone_horizon() is None
+
+    # (b) availableNow drain auto-unpins at the max committed LSN
+    log = gen_cdc_log(spark, 400, num_convs=4, turns_per_conv=4)
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=4)
+    t2 = SnapshotTable.create(spark, str(tmp_path / "t2"), SCHEMA, KEYS, num_buckets=4)
+    replay_stream(spark, log_dir, t2, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    max_seq = int(log.agg({"seq": "max"}).collect()[0][0])
+    assert t2.safe_tombstone_horizon() == max_seq + 1
+    t2.expire_tombstones()
+    assert t2.read(system=True).filter("_deleted").count() == 0
+    assert sorted(map(tuple, t2.read().collect())) == sorted(
+        map(tuple, final_state(log, payload_cols=("role", "text", "tool", "ts")).collect())
+    )

@@ -419,3 +419,18 @@ def test_star_components_equal_hashmin(spark):
             for r in connected_components(df, algorithm="star", max_iterations=12).collect()
         }
         assert st == hm and st
+
+
+def test_dedup_canonical_orphan_pair_ids_never_orphan_a_component(spark):
+    """A pair referencing an id absent from docs (stale index, pairs
+    computed pre-filter) must not leave a component with zero canonical
+    rows: the survivor is the min id PRESENT in docs, even when the
+    component label itself is the absent id."""
+    from sql_graph_visualizer_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a_id long, b_id long")
+    rows = {r["doc_id"]: r for r in dedup_canonical(docs, pairs).collect()}
+    assert rows[2]["component"] == 1 and rows[3]["component"] == 1
+    assert rows[2]["is_canonical"] is True  # min PRESENT id survives
+    assert rows[3]["is_canonical"] is False
