@@ -45,6 +45,8 @@ from sql_graph_visualizer_spark.operators.similarity import cosine_topk, ivf_top
 from sql_graph_visualizer_spark.operators.text import (
     detect_language,
     fingerprint,
+    pii_counts,
+    redact_pii,
     token_count,
     whitespace_token_count,
 )
@@ -1074,6 +1076,44 @@ def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (new r6): emails / IPv4 / phone-shaped runs →
+    typed placeholders, pure regexp expressions (codegen, zero UDFs),
+    patterns restricted to Java-regex ∩ RE2 common syntax so the DuckDB
+    oracle replays the redaction byte-for-byte. The fixture text
+    carries no PII, so each doc is deterministically augmented with
+    synthetic doc_id-derived PII first — both engines build the
+    identical input, making zero-redaction trivially-green impossible."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@ex"),
+        (d % 7).cast("string"),
+        F.lit(".org ip 10."),
+        (d % 200).cast("string"),
+        F.lit(".3.9 tel +1 (555) 010-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    n_email, n_ip, n_phone = pii_counts(F.col("aug"))
+    return (
+        docs.withColumn("aug", aug)
+        .select(
+            "doc_id",
+            redact_pii(F.col("aug")).alias("redacted"),
+            n_email,
+            n_ip,
+            n_phone,
+        )
+        .withColumn("n_email", F.col("n_email").cast("long"))
+        .withColumn("n_ip", F.col("n_ip").cast("long"))
+        .withColumn("n_phone", F.col("n_phone").cast("long"))
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_read(spark, sf_dir, "documents"))
 
@@ -1601,7 +1641,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r6, battery-covered; rotate into the r7 window
         "dedup_stream_matches": q_dedup_stream_matches,
         "dedup_components": q_dedup_components,
+        "text_redact_pii": q_text_redact_pii,
     }
+
+
+_TEXT_REDACT_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         || '.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+         || '.3.9 tel +1 (555) 010-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b', '[IP]', 'g'),
+      '\+?[0-9][0-9()\- ]{6,14}[0-9]', '[PHONE]', 'g') AS redacted,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\- ]{6,14}[0-9]')) AS BIGINT) AS n_phone
+FROM aug
+"""
 
 
 _WINNERS = "WITH " + CDC_WINNERS_CTE
@@ -2307,6 +2370,7 @@ FROM dims
         "dedup_incremental_minhash": minhash_incremental_oracle_sql(threshold=0.5),
         "dedup_stream_matches": minhash_incremental_oracle_sql(threshold=0.5),
         "dedup_components": components_oracle_sql(minhash_lsh_oracle_sql(threshold=0.5)),
+        "text_redact_pii": _TEXT_REDACT_PII_SQL,
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,

@@ -200,3 +200,42 @@ def extract_sql_table(col: Column | str) -> Column:
     regexp_extract instead of a per-row string walk."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, SQL_TABLE_PATTERN, 1)
+
+
+# ---------------------------------------------------------- PII redaction
+# Training-data pipelines scrub obvious PII before anything else sees the
+# text. Pure regexp expressions (whole-stage codegen; zero UDFs), with
+# patterns restricted to syntax Java regex and RE2 interpret identically
+# (character classes, bounded quantifiers, \b, non-capturing groups — no
+# lookaround), so a DuckDB oracle can replay the redaction byte-for-byte.
+
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+)
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,14}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses and phone-shaped digit runs with
+    typed placeholders. Order matters and is fixed: emails first (their
+    digits would otherwise feed the phone pattern), then IPs (their
+    charset is disjoint from phones — dots never match the phone run),
+    then phones over what remains."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+    c = F.regexp_replace(c, PII_IPV4, "[IP]")
+    return F.regexp_replace(c, PII_PHONE, "[PHONE]")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """Per-pattern match counts on the RAW text (email, ipv4, phone) —
+    the audit signal next to the redacted column. Counted independently,
+    so a digit run inside an email can also count as phone-shaped; the
+    redaction itself is not double-applied (see ``redact_pii`` order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return tuple(
+        F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).alias(name)
+        for p, name in ((PII_EMAIL, "n_email"), (PII_IPV4, "n_ip"), (PII_PHONE, "n_phone"))
+    )

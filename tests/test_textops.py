@@ -434,3 +434,29 @@ def test_dedup_canonical_orphan_pair_ids_never_orphan_a_component(spark):
     assert rows[2]["component"] == 1 and rows[3]["component"] == 1
     assert rows[2]["is_canonical"] is True  # min PRESENT id survives
     assert rows[3]["is_canonical"] is False
+
+
+def test_redact_pii_patterns_and_order(spark):
+    """Emails, IPv4s (valid octets only) and phone-shaped runs become
+    typed placeholders; invalid octets survive; redaction order keeps
+    email digits from leaking into the phone pattern."""
+    from sql_graph_visualizer_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail a.b+c@foo-bar.example.com or x@y.io now"),
+        (1, "server 10.3.0.1 and 256.1.1.1 and 8.8.8.8."),
+        (2, "call +1 (555) 010-1234 or 5550101234 end"),
+        (3, "no pii here 1.2 only"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    n_email, n_ip, n_phone = pii_counts("t")
+    got = {
+        r.i: (r.red, r.n_email, r.n_ip, r.n_phone)
+        for r in df.select("i", redact_pii("t").alias("red"), n_email, n_ip, n_phone).collect()
+    }
+    assert got[0] == ("mail [EMAIL] or [EMAIL] now", 2, 0, 0)
+    # 256.1.1.1 is not a valid IPv4 and survives WHOLE: the leading \b
+    # means the 56.1.1.1 tail can't match mid-digit-run either
+    assert got[1] == ("server [IP] and 256.1.1.1 and [IP].", 0, 2, 0)
+    assert got[2] == ("call [PHONE] or [PHONE] end", 0, 0, 2)
+    assert got[3] == ("no pii here 1.2 only", 0, 0, 0)
