@@ -56,9 +56,27 @@ _PLAYGROUND = b"""<!doctype html><html><head><title>sql-graph-visualizer playgro
 # ignored anyway (each field returns its full wire shape), so a greedy
 # any-match bounded by the outer closing brace is exact for one field.
 _FIELD_RE = re.compile(
-    r"^\s*\{\s*(?P<field>\w+)\s*(?:\(\s*(?P<args>[^)]*)\s*\))?\s*(?:\{[\s\S]*\})?\s*\}\s*$"
+    r"^\s*\{\s*(?P<field>\w+)\s*(?:\(\s*(?P<args>[^)]*)\s*\))?\s*(?P<sel>\{[\s\S]*\})?\s*\}\s*$"
 )
 _ARG_RE = re.compile(r'(\w+)\s*:\s*("(?:[^"\\]|\\.)*"|\$\w+|\d+)')
+
+
+def _one_balanced_block(sel: str) -> bool:
+    """True iff ``sel`` is exactly ONE balanced ``{...}`` block. The
+    greedy selection group above spans to the LAST brace, so a sibling
+    field (``{ a { x } b { y } }``) would otherwise be silently
+    swallowed into field ``a``'s selection and ``b`` dropped from the
+    response (ADVICE r6) — this schema serves one field per operation
+    and must refuse loudly, not return partial data with a 200."""
+    depth = 0
+    for i, ch in enumerate(sel):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return sel[i + 1:].strip() == ""
+    return False
 
 
 def _parse_operation(query: str, variables: dict[str, Any]) -> tuple[str, dict[str, Any]]:
@@ -68,6 +86,12 @@ def _parse_operation(query: str, variables: dict[str, Any]) -> tuple[str, dict[s
     m = _FIELD_RE.match(query.strip())
     if not m:
         raise ValueError("unsupported operation: expected a single Query field")
+    sel = m.group("sel")
+    if sel is not None and not _one_balanced_block(sel):
+        raise ValueError(
+            "unsupported operation: one field per operation (sibling "
+            "selection detected)"
+        )
     args: dict[str, Any] = {}
     for name, raw in _ARG_RE.findall(m.group("args") or ""):
         if raw.startswith("$"):

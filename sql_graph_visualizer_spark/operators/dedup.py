@@ -633,18 +633,22 @@ WHERE (a_id % {batch_mod} = 0) <> (b_id % {batch_mod} = 0)
 # ------------------------------------------------- connected components
 
 
-def _free_checkpoint(df: DataFrame) -> None:
+def _free_checkpoint(df: DataFrame) -> bool:
     """Deterministically release a ``localCheckpoint``'s executor blocks.
     ``DataFrame.unpersist()`` does NOT free them (the blocks belong to
     the checkpointed RDD inside the plan's LogicalRDD, otherwise
     reclaimed only when the JVM eventually GCs the reference) — without
     this, an iterative loop pins one full table copy per round instead
-    of O(1). Best-effort over an internal handle; callers must not use
-    ``df`` afterwards."""
+    of O(1). MUST be handed the checkpointed DataFrame itself — a
+    projection of it is a Project plan whose ``logical().rdd()`` does
+    not exist, so the block would silently survive (the exact leak this
+    returns False for; tests assert on it). Callers must not use ``df``
+    afterwards."""
     try:
         df._jdf.queryExecution().logical().rdd().unpersist(False)
+        return True
     except Exception:
-        pass
+        return False
 
 
 def connected_components(
@@ -706,6 +710,10 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # handle to the ACTUAL checkpointed plan: freeing must go through it —
+    # a projection of it hides the LogicalRDD from _free_checkpoint and
+    # the blocks would accumulate O(rounds) instead of O(1)
+    labels_ckpt = labels
     try:
         for _ in range(max_iterations):
             nbr_min = (
@@ -731,12 +739,13 @@ def connected_components(
             # nxt is fully materialized — the previous round's checkpoint
             # blocks are dead weight from here; free them so peak storage
             # is O(1) table copies, not O(rounds)
-            prev_ckpt, labels = labels, nxt.select("id", "component")
+            prev_ckpt, labels_ckpt = labels_ckpt, nxt
+            labels = nxt.select("id", "component")
             _free_checkpoint(prev_ckpt)
             if changed == 0:
                 break
         else:
-            _free_checkpoint(labels)
+            _free_checkpoint(labels_ckpt)
             # unconverged labels can SPLIT a component (docs silently land
             # in different clusters) — that is a wrong answer, never
             # return it
@@ -803,10 +812,17 @@ def _star_components(half: DataFrame, max_iterations: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     for _ in range(max_iterations):
         _, small = _star_edges_once(edges)
         small = small.localCheckpoint(eager=True)
-        converged = small.count() == edges.count() and small.exceptAll(edges).isEmpty()
+        # both sides are distinct sets, so equal counts + one-sided
+        # containment == set equality; the previous round's count is
+        # carried forward, so a typical (non-final) round costs ONE
+        # Spark action — the exceptAll only runs when counts agree
+        n_small = small.count()
+        converged = n_small == n_edges and small.exceptAll(edges).isEmpty()
+        n_edges = n_small
         prev_ckpt, edges = edges, small
         _free_checkpoint(prev_ckpt)  # comparison done; round k-1 is dead
         if converged:

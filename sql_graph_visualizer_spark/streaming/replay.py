@@ -94,19 +94,37 @@ def maybe_compact_deltas(
     inline, which gives the hard invariant ``max_layers ≤ threshold``
     at every epoch boundary (each epoch adds at most one layer per
     bucket)."""
+    # a PREVIOUS async fold that died on a non-conflict error (IO
+    # failure, corrupted segment) must not be silently discarded —
+    # delta layers would grow unbounded while the caller believes
+    # maintenance is running (ADVICE r6). Re-raise it on the next
+    # trigger, on the ingest thread, where the operator sees it.
+    prev = getattr(table, "_async_fold_error", None)
+    if prev is not None:
+        table._async_fold_error = None
+        raise prev
     if table.delta_stats()["max_layers"] < max_layers:
         return None
 
     def _run() -> dict[str, int] | None:
+        return table.compact_deltas(min_deltas=max_layers)
+
+    def _run_guarded() -> dict[str, int] | None:
         try:
-            return table.compact_deltas(min_deltas=max_layers)
+            return _run()
         except CommitConflictError:
             return None  # ingest won the race; next epoch re-triggers
 
     if pool is not None:
-        pool.submit(_run)
+
+        def _surface(fut) -> None:
+            exc = fut.exception()
+            if exc is not None and not isinstance(exc, CommitConflictError):
+                table._async_fold_error = exc
+
+        pool.submit(_run).add_done_callback(_surface)
         return None
-    return _run()
+    return _run_guarded()
 
 
 def replay_stream(
@@ -127,7 +145,7 @@ def replay_stream(
     auto_compact_layers: int | None = None,
     auto_compact_async: bool = False,
     ordered_source: bool = False,
-    unpin_on_drain: bool = True,
+    unpin_on_drain: bool = False,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -165,14 +183,17 @@ def replay_stream(
     (binlog segment shipping with monotone mtimes).
 
     ``unpin_on_drain``: a finished ``availableNow`` run delivered every
-    file that existed at query start, so the ordering claim IS provable
-    at drain time — the bounded mode unpins automatically at the max
-    committed LSN (keeping the drain-then-``expire_tombstones()``
-    pattern working). Pass False when later runs can deliver files with
-    smaller LSNs (late segment re-shipping). Sustained mode never
-    unpins; the operator does it explicitly with
-    ``table.advance_watermark(query_id, max_committed_seq)`` after
-    stopping a provably-drained stream."""
+    file that existed at query start, so within ONE run the ordering
+    claim is provable at drain time — but a LATER run can still ship a
+    segment with smaller LSNs (late re-shipping), and an
+    ``expire_tombstones()`` between the two runs would reopen the exact
+    resurrection window the unordered pin closes. The unpin is
+    therefore OPT-IN (ADVICE r6): pass True only when the operator can
+    assert no smaller-LSN files will arrive in later runs (e.g. the
+    drain consumed the final binlog segment). Default False keeps the
+    horizon pinned; unpin explicitly with
+    ``table.advance_watermark(query_id, max_committed_seq)`` after a
+    provable end-of-log drain. Sustained mode never unpins."""
     stats: list[MergeStats] = []
     from concurrent.futures import ThreadPoolExecutor
 
@@ -229,15 +250,14 @@ def replay_stream(
         if lineage is not None:
             lineage.flush()
         if unpin_on_drain and not ordered_source:
+            # OPT-IN (caller asserted no later run ships smaller LSNs):
             # the drained availableNow run delivered every file that
             # existed at query start, so the ordering claim is provable
-            # NOW even though it wasn't per-epoch: unpin the tombstone
-            # horizon at the max committed LSN. Without this, the
-            # drain-then-expire_tombstones() pattern silently becomes a
-            # permanent no-op (the pin never clears). Epochs fenced as
-            # re-delivered carry no LSN knowledge and are skipped; pass
-            # unpin_on_drain=False when files with SMALLER LSNs can
-            # still arrive in a later run (late segment re-shipping).
+            # NOW even though it wasn't per-epoch — unpin the tombstone
+            # horizon at the max committed LSN so the
+            # drain-then-expire_tombstones() pattern works. Epochs
+            # fenced as re-delivered carry no LSN knowledge and are
+            # skipped.
             mx = max((s.max_seq for s in stats if not s.skipped), default=-1)
             if mx >= 0:
                 table.advance_watermark(query_id, mx)

@@ -68,6 +68,17 @@ def test_graphql_over_http_all_query_fields(spark):
         # malformed operation -> GraphQL error envelope, not a 500
         r = _post(port, {"query": "mutation { nope }"})
         assert "errors" in r and r["errors"][0]["message"]
+        # sibling top-level fields must FAIL LOUDLY, never return field
+        # `a` with field `b` silently dropped (ADVICE r6: the greedy
+        # selection group would swallow `{ x } b { y }` into a)
+        r = _post(
+            port,
+            {"query": '{ nodesByType(type: "User") { id } graph { nodes } }'},
+        )
+        assert "errors" in r and "one field" in r["errors"][0]["message"]
+        # nested selections still parse (one field, deep braces)
+        r = _post(port, {"query": "{ graph { nodes { id props { k } } } }"})
+        assert len(r["data"]["graph"]["nodes"]) == 3
         # missing variable -> error envelope
         r = _post(port, {"query": "{ node(id: $id) { id } }"})
         assert "errors" in r

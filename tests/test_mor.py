@@ -459,6 +459,46 @@ def test_replay_batch_auto_compact_async(spark, tmp_path):
     assert _state(t) == _expected(log)
 
 
+def test_async_fold_failure_surfaces_on_next_trigger(spark, tmp_path):
+    """ADVICE r6: a non-conflict exception inside the ASYNC fold must
+    not vanish with the dropped future (delta layers would grow
+    unbounded while the operator believes maintenance runs). The next
+    maybe_compact_deltas call re-raises it on the ingest thread; a
+    CommitConflictError stays swallowed (by-design yield to ingest)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sql_graph_visualizer_spark.lake.snapshot_table import CommitConflictError
+    from sql_graph_visualizer_spark.streaming.replay import maybe_compact_deltas
+
+    log = gen_cdc_log(spark, 600, num_convs=8, turns_per_conv=5)
+    t = _table(spark, tmp_path, buckets=4)
+    for e in range(3):
+        t.merge_upsert(
+            log.filter(f"seq >= {e * 200} and seq < {(e + 1) * 200}"),
+            epoch_id=e, query_id="q", mode="mor",
+        )
+    assert t.delta_stats()["max_layers"] >= 2
+
+    real_fold = t.compact_deltas
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        # 1) IO-style failure: surfaced on the NEXT trigger, then cleared
+        t.compact_deltas = lambda **kw: (_ for _ in ()).throw(OSError("disk gone"))
+        maybe_compact_deltas(t, 2, pool=pool)
+        pool.shutdown(wait=True)
+    with pytest.raises(OSError, match="disk gone"):
+        maybe_compact_deltas(t, 2)
+    # 2) conflict: swallowed as before (ingest won the race)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t.compact_deltas = lambda **kw: (_ for _ in ()).throw(
+            CommitConflictError("racing merge")
+        )
+        maybe_compact_deltas(t, 2, pool=pool)
+        pool.shutdown(wait=True)
+    t.compact_deltas = real_fold
+    maybe_compact_deltas(t, 2)  # no stored error; real fold runs
+    assert t.delta_stats()["max_layers"] < 2
+
+
 def test_mor_read_plan_shape(spark, tmp_path):
     """The MoR fold's plan contract at 100 TB: the payload shuffles on
     the key columns (hash exchanges) and is NEVER sorted — no

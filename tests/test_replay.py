@@ -403,12 +403,21 @@ def test_unordered_pin_lifecycle_guards(spark, tmp_path):
     t.drop_watermark("s", force=True)  # provably-dead escape hatch
     assert t.safe_tombstone_horizon() is None
 
-    # (b) availableNow drain auto-unpins at the max committed LSN
+    # (b) a drained availableNow run keeps the pin BY DEFAULT (a later
+    # run may still ship smaller LSNs — ADVICE r6); the unpin is an
+    # explicit caller assertion via unpin_on_drain=True
     log = gen_cdc_log(spark, 400, num_convs=4, turns_per_conv=4)
     log_dir = str(tmp_path / "log")
     write_cdc_log_dir(log, log_dir, num_files=4)
     t2 = SnapshotTable.create(spark, str(tmp_path / "t2"), SCHEMA, KEYS, num_buckets=4)
-    replay_stream(spark, log_dir, t2, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    replay_stream(spark, log_dir, t2, str(tmp_path / "ckpt0"), max_files_per_trigger=2)
+    assert t2.safe_tombstone_horizon() == 0  # still pinned
+    t3 = SnapshotTable.create(spark, str(tmp_path / "t3"), SCHEMA, KEYS, num_buckets=4)
+    replay_stream(
+        spark, log_dir, t3, str(tmp_path / "ckpt"), max_files_per_trigger=2,
+        unpin_on_drain=True,
+    )
+    t2 = t3
     max_seq = int(log.agg({"seq": "max"}).collect()[0][0])
     assert t2.safe_tombstone_horizon() == max_seq + 1
     t2.expire_tombstones()

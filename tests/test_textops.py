@@ -395,6 +395,32 @@ def test_connected_components_guards(spark):
         connected_components(path, max_iterations=2)
 
 
+def test_connected_components_frees_checkpoint_blocks_per_round(spark):
+    """ADVICE r6: freeing must go through the CHECKPOINTED DataFrame —
+    a projection of it hides the LogicalRDD from _free_checkpoint, the
+    unpersist silently no-ops, and blocks accumulate O(rounds). A
+    diameter-12 path forces ~12 hash-min rounds; afterwards at most ONE
+    checkpoint (the returned final labels) may remain persisted."""
+    from sql_graph_visualizer_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 13)], "a_id long, b_id long"
+    )
+    out = connected_components(path)
+    assert {r.component for r in out.collect()} == {1}
+    leaked = jsc.getPersistentRDDs().size() - base
+    assert leaked <= 1, f"{leaked} checkpoint blocks leaked (O(rounds) pin)"
+
+    # star variant: same contract
+    base = jsc.getPersistentRDDs().size()
+    out = connected_components(path, algorithm="star", max_iterations=12)
+    assert {r.component for r in out.collect()} == {1}
+    leaked = jsc.getPersistentRDDs().size() - base
+    assert leaked <= 1, f"star: {leaked} checkpoint blocks leaked"
+
+
 def test_star_components_equal_hashmin(spark):
     """The large-star/small-star variant must produce the identical
     (id, component) table as hash-min on: chain+clique mix, a diameter-40
