@@ -28,6 +28,19 @@ At scale the per-epoch cost is the index probe's (batch text shingled
 once, corpus signatures never shuffle — see ``dedup_index``) plus two
 ∝-batch merges; nothing in the loop scans the corpus or the
 accumulated matches.
+
+With ``corpus_path`` set, the loop also CLOSES the dedup pipeline
+(VERDICT r6 #1, the reference's delete-then-create upsert shape,
+``simple_metrics_injector.go:170-213``): each epoch merges the batch
+documents into a corpus SnapshotTable, records intra-batch pairs,
+retires stale pairs of re-ingested documents, and tombstones the
+duplicate-cluster losers via
+:func:`~sql_graph_visualizer_spark.operators.dedup_apply.apply_survivors`
+— so ``read_corpus()`` returns the deduplicated live set directly,
+and replaying the stream incrementally converges to the same final
+state as one one-shot dedup pass over everything (tested). The extra
+per-epoch cost: a components pass over the PAIR graph (tiny vs the
+corpus) and two ∝-blast-radius merges.
 """
 
 from __future__ import annotations
@@ -37,6 +50,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sql_graph_visualizer_spark.lake.snapshot_table import MergeStats, SnapshotTable
+from sql_graph_visualizer_spark.operators.dedup import minhash_lsh_pairs
+from sql_graph_visualizer_spark.operators.dedup_apply import apply_survivors
 from sql_graph_visualizer_spark.operators.dedup_index import MinHashIndex
 
 DOC_STREAM_SCHEMA = T.StructType(
@@ -73,6 +88,9 @@ class DedupIngest:
         threshold: float = 0.7,
         num_buckets: int = 16,
         query_id: str = "dedup-ingest",
+        corpus_path: str | None = None,
+        doc_schema: T.StructType = DOC_STREAM_SCHEMA,
+        corpus_buckets: int = 16,
     ):
         self.spark = spark
         self.index = index
@@ -88,6 +106,31 @@ class DedupIngest:
                 key_cols=["new_id", "match_id"],
                 num_buckets=num_buckets,
             )
+        # corpus maintenance (VERDICT r6 #1, the close-the-loop arc): when
+        # a corpus_path is given, each epoch ALSO (a) merges the batch
+        # documents into the corpus table, (b) records intra-batch pairs
+        # (the probe only sees batch-vs-indexed; two duplicates arriving
+        # in the SAME batch collide here), (c) retires stale pairs of
+        # re-ingested (updated) documents inside the same matches merge,
+        # and (d) tombstones the duplicate-cluster losers out of the
+        # corpus via apply_survivors — so reading the corpus table gives
+        # the deduplicated live set directly.
+        self.corpus: SnapshotTable | None = None
+        if corpus_path is not None:
+            if SnapshotTable.exists(corpus_path):
+                self.corpus = SnapshotTable(spark, corpus_path)
+            else:
+                self.corpus = SnapshotTable.create(
+                    spark,
+                    corpus_path,
+                    doc_schema,
+                    key_cols=["doc_id"],
+                    num_buckets=corpus_buckets,
+                )
+        # (docs_merge_stats, apply_stats) per processed epoch, in
+        # application order — the corpus-side twin of the returned
+        # (index, matches) stats tuple
+        self.corpus_stats: list[tuple[MergeStats, MergeStats]] = []
 
     def _find_epoch_version(self, epoch_id: int) -> int | None:
         """Index-table snapshot version of the commit that carried this
@@ -106,6 +149,27 @@ class DedupIngest:
     def _empty_matches(self) -> DataFrame:
         return self.spark.createDataFrame([], MATCH_SCHEMA)
 
+    def _intra_batch_pairs(self, batch: DataFrame) -> DataFrame:
+        """Near-dup pairs WITHIN one batch under the index's pinned hash
+        family (the probe only reports batch-vs-indexed; two duplicates
+        arriving in the same micro-batch collide here). Oriented like
+        probe output — larger id as ``new_id`` — purely for key
+        determinism; components don't care about direction."""
+        idx = self.index
+        pairs = minhash_lsh_pairs(
+            batch,
+            threshold=self.threshold,
+            num_hashes=idx.num_hashes,
+            bands=idx.bands,
+            shingle_n=idx.shingle_n,
+            portable=idx.portable,
+        )
+        return pairs.select(
+            F.greatest("a_id", "b_id").alias("new_id"),
+            F.least("a_id", "b_id").alias("match_id"),
+            "est_jaccard",
+        )
+
     def process(self, batch: DataFrame, epoch_id: int) -> tuple[MergeStats, MergeStats]:
         epoch_id = int(epoch_id)
         matches, st = self.index.add_batch(
@@ -115,6 +179,7 @@ class DedupIngest:
             threshold=self.threshold,
         )
         seq = int(st.snapshot_version)
+        probe_unrecoverable = False
         if st.skipped:
             # crash-recovery window: the INDEX epoch already committed but
             # the matches epoch may not have. The live probe is useless
@@ -129,6 +194,7 @@ class DedupIngest:
                 # in the matches table (if it already committed there,
                 # this is the normal duplicate-delivery no-op)
                 matches = self._empty_matches()
+                probe_unrecoverable = True
             else:
                 seq = int(found)
                 if parent is None:
@@ -138,6 +204,23 @@ class DedupIngest:
                     matches = self.index._probe_sigs(sigs, version=int(parent)).filter(
                         F.col("est_jaccard") >= self.threshold
                     )
+        batch_ids = batch.select("doc_id").distinct()
+        if self.corpus is not None:
+            # (a) documents land in the corpus FIRST (losers can only be
+            # tombstoned out of rows that exist). LSN scheme: docs at
+            # 2·seq, survivor deletes at 2·seq+1 — the same epoch's
+            # decision beats its ingest, and any LATER epoch's re-ingest
+            # (2·seq′ ≥ 2·seq+2) beats the stale delete, so an UPDATED
+            # document resurrects through the normal LWW path and is
+            # re-evaluated from scratch.
+            doc_events = batch.withColumn("op", F.lit("update")).withColumn(
+                "seq", F.lit(2 * seq).cast("long")
+            )
+            dst = self.corpus.merge_upsert(
+                doc_events, epoch_id=epoch_id, query_id=self.query_id + "-docs"
+            )
+            # (b) intra-batch collisions join the pair graph
+            matches = matches.unionByName(self._intra_batch_pairs(batch))
         # seq = the index snapshot version (monotone in application
         # order): under out-of-order re-delivery a later-applied epoch
         # observed newer index state and must win LWW
@@ -148,13 +231,74 @@ class DedupIngest:
             F.lit("update").alias("op"),
             F.lit(seq).cast("long").alias("seq"),
         )
+        if self.corpus is not None and not probe_unrecoverable:
+            # (c) stale-pair retirement, SAME merge as the fresh pairs
+            # (one epoch fence — a crash can never retire without
+            # re-inserting): a re-ingested document's old pairs were
+            # scored against its OLD text; any of them the fresh probe
+            # did not re-find is no longer evidence. Cost ∝ the pair
+            # graph rows touching batch ids (two semi-joins on the tiny
+            # broadcast id set), never the corpus.
+            live = self.matches.read().select("new_id", "match_id")
+            stale = (
+                live.join(
+                    F.broadcast(batch_ids.withColumnRenamed("doc_id", "new_id")),
+                    "new_id",
+                    "left_semi",
+                )
+                .unionByName(
+                    live.join(
+                        F.broadcast(batch_ids.withColumnRenamed("doc_id", "match_id")),
+                        "match_id",
+                        "left_semi",
+                    ).select("new_id", "match_id")
+                )
+                .distinct()
+                .join(
+                    matches.select("new_id", "match_id"),
+                    ["new_id", "match_id"],
+                    "left_anti",
+                )
+            )
+            events = events.unionByName(
+                stale.select(
+                    "new_id",
+                    "match_id",
+                    F.lit(None).cast("double").alias("est_jaccard"),
+                    F.lit("delete").alias("op"),
+                    F.lit(seq).cast("long").alias("seq"),
+                )
+            )
         mst = self.matches.merge_upsert(
             events, epoch_id=epoch_id, query_id=self.query_id + "-matches"
         )
+        if self.corpus is not None:
+            # (d) close the loop: tombstone this epoch's duplicate-cluster
+            # losers out of the corpus. Components run on the LIVE pair
+            # graph (post-retirement); deletes are restricted to
+            # components touched by this batch's ids, so the write is
+            # ∝ the epoch's blast radius. validate_ids=False is safe
+            # here by construction: every pair id went through (a).
+            ast = apply_survivors(
+                self.corpus,
+                self.matches.read().select("new_id", "match_id"),
+                seq=2 * seq + 1,
+                epoch_id=epoch_id,
+                query_id=self.query_id + "-apply",
+                touched_ids=batch_ids,
+                validate_ids=False,
+            )
+            self.corpus_stats.append((dst, ast))
         return st, mst
 
     def read(self) -> DataFrame:
         return self.matches.read()
+
+    def read_corpus(self) -> DataFrame:
+        """The deduplicated live corpus (losers tombstoned away)."""
+        if self.corpus is None:
+            raise ValueError("DedupIngest was built without corpus_path")
+        return self.corpus.read()
 
 
 def dedup_ingest_stream(

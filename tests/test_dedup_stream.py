@@ -156,3 +156,163 @@ def test_resume_from_checkpoint_is_noop(spark, tmp_path):
     assert len(s1) == 1
     s2 = dedup_ingest_stream(spark, str(doc_dir), ingest, str(tmp_path / "ckpt"))
     assert s2 == []
+
+
+# ------------------------------------------------- corpus close-the-loop
+
+
+def _one_shot_survivors(spark, rows):
+    """Oracle: min doc id per near-dup component over ALL docs at once."""
+    from sql_graph_visualizer_spark.operators.dedup import dedup_canonical
+
+    docs = _docs_df(spark, rows)
+    pairs = minhash_lsh_pairs(docs, threshold=THRESHOLD, **PARAMS)
+    return {
+        r.doc_id
+        for r in dedup_canonical(docs, pairs, a_col="a_id", b_col="b_id").collect()
+        if r.is_canonical
+    }
+
+
+def _corpus_ingest(spark, tmp_path, name="c"):
+    idx = MinHashIndex.create(spark, str(tmp_path / f"ix-{name}"), **PARAMS)
+    return DedupIngest(
+        spark,
+        idx,
+        str(tmp_path / f"matches-{name}"),
+        threshold=THRESHOLD,
+        corpus_path=str(tmp_path / f"corpus-{name}"),
+    )
+
+
+def test_corpus_incremental_dedup_equals_one_shot(spark, tmp_path):
+    """THE close-the-loop oracle (VERDICT r6 #1): replaying the corpus
+    epoch-by-epoch — with cross-epoch duplicates, intra-batch duplicates
+    and a singleton — must converge to exactly the one-shot decision:
+    keep the min doc id per near-dup component, tombstone the rest."""
+    expected = _one_shot_survivors(spark, DOCS)
+    assert expected != {d for d, _ in DOCS}, "fixture must drop someone"
+
+    # epoch split chosen so duplicates land BOTH across epochs (1 vs 2;
+    # 4 vs 5) and within one epoch (7 and 8 arrive together)
+    epochs = [DOCS[:2], DOCS[2:5], DOCS[5:]]
+    ingest = _corpus_ingest(spark, tmp_path)
+    for e, rows in enumerate(epochs):
+        ingest.process(_docs_df(spark, rows), e)
+    live = {r.doc_id for r in ingest.read_corpus().collect()}
+    assert live == expected
+    # survivors keep their text; losers are tombstones, not lost rows
+    sys_rows = ingest.corpus.read(system=True)
+    assert sys_rows.filter("_deleted").count() == len(DOCS) - len(expected)
+
+
+def test_corpus_crash_between_matches_and_apply_commits(spark, tmp_path):
+    """The NEW crash window (matches commit landed, corpus apply did
+    not): re-delivery must fence index+docs+matches and re-derive the
+    SAME survivor decisions from the committed matches table."""
+    ingest = _corpus_ingest(spark, tmp_path)
+    ingest.process(_docs_df(spark, DOCS[:4]), 0)
+
+    # crash the apply arm of epoch 1: let everything before it commit,
+    # then die inside apply_survivors' merge
+    orig = ingest.corpus.merge_upsert
+    def dying(events, **kw):
+        if kw.get("query_id", "").endswith("-apply") and kw.get("epoch_id") == 1:
+            raise RuntimeError("simulated crash before apply commit")
+        return orig(events, **kw)
+    ingest.corpus.merge_upsert = dying
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            ingest.process(_docs_df(spark, DOCS[4:]), 1)
+    finally:
+        ingest.corpus.merge_upsert = orig
+
+    # "restart": fresh ingest over the same tables, re-deliver epoch 1
+    ingest2 = DedupIngest(
+        spark,
+        MinHashIndex(spark, str(tmp_path / "ix-c")),
+        str(tmp_path / "matches-c"),
+        threshold=THRESHOLD,
+        corpus_path=str(tmp_path / "corpus-c"),
+    )
+    st, mst = ingest2.process(_docs_df(spark, DOCS[4:]), 1)
+    assert st.skipped and mst.skipped  # index + matches both fenced
+    dst, ast = ingest2.corpus_stats[-1]
+    assert dst.skipped and not ast.skipped  # docs fenced; apply recovered
+    assert {r.doc_id for r in ingest2.read_corpus().collect()} == _one_shot_survivors(
+        spark, DOCS
+    )
+    # second re-delivery: everything fenced, state unchanged
+    st2, mst2 = ingest2.process(_docs_df(spark, DOCS[4:]), 1)
+    dst2, ast2 = ingest2.corpus_stats[-1]
+    assert st2.skipped and mst2.skipped and dst2.skipped and ast2.skipped
+
+
+def test_corpus_updated_doc_resurrects_and_stale_pairs_retire(spark, tmp_path):
+    """A loser re-ingested with NEW (unique) text must resurrect through
+    LWW (2·seq′ beats the old 2·seq+1 delete), its stale pairs must be
+    retired from the matches table, and it must survive re-evaluation."""
+    ingest = _corpus_ingest(spark, tmp_path)
+    ingest.process(_docs_df(spark, DOCS), 0)
+    assert 2 not in {r.doc_id for r in ingest.read_corpus().collect()}  # dup of 1
+    stale = ingest.read().filter("new_id = 2 or match_id = 2").count()
+    assert stale > 0
+
+    # doc 2 is UPDATED to unique text and re-enters the stream
+    ingest.process(
+        _docs_df(spark, [(2, "utterly novel content nothing resembles this text")]), 1
+    )
+    live = {r.doc_id for r in ingest.read_corpus().collect()}
+    assert 2 in live  # resurrected
+    assert ingest.read().filter("new_id = 2 or match_id = 2").count() == 0  # retired
+    # everyone else's decision is untouched
+    assert live - {2} == _one_shot_survivors(spark, DOCS)
+
+
+def test_apply_survivors_batch_operator_orphan_guard(spark, tmp_path):
+    """The standalone batch operator: orphan pair ids (never ingested)
+    cannot out-rank real docs and delete a whole cluster; touched_ids
+    restricts the blast radius."""
+    from sql_graph_visualizer_spark.lake.snapshot_table import SnapshotTable
+    from sql_graph_visualizer_spark.operators.dedup_apply import apply_survivors
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["doc_id"], num_buckets=4
+    )
+    docs = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (20, "c"), (21, "d")],
+        "doc_id long, text string",
+    )
+    t.merge_upsert(
+        docs.selectExpr("doc_id", "text", "'update' as op", "doc_id as seq"),
+        epoch_id=0, query_id="load",
+    )
+    # pair graph: {10,11} dup cluster; {20,21} cluster whose component
+    # min (5) was NEVER ingested — the orphan guard must keep 20
+    pairs = spark.createDataFrame(
+        [(11, 10), (21, 20), (20, 5)], "new_id long, match_id long"
+    )
+    apply_survivors(t, pairs, seq=1000, epoch_id=1, query_id="apply")
+    assert {r.doc_id for r in t.read().collect()} == {10, 20}
+
+    # touched_ids: only the {10,11} component may be written
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "t2"), schema, key_cols=["doc_id"], num_buckets=4
+    )
+    t2.merge_upsert(
+        docs.selectExpr("doc_id", "text", "'update' as op", "doc_id as seq"),
+        epoch_id=0, query_id="load",
+    )
+    apply_survivors(
+        t2, pairs, seq=1000, epoch_id=1, query_id="apply",
+        touched_ids=spark.createDataFrame([(11,)], "doc_id long"),
+    )
+    assert {r.doc_id for r in t2.read().collect()} == {10, 20, 21}
