@@ -1312,6 +1312,38 @@ def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_sim_ivf_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer RETRAIN protocol (new r7, VERDICT r6 #4): the index is
+    built under one quantizer, a new quantizer is staged
+    (``retrain_begin``), fresh ingest lands mid-retrain (assigned under
+    the PENDING generation), one partial ``retrain_step`` leaves the
+    index genuinely mixed-generation — and the returned search runs in
+    exactly that half-migrated state, each corpus row matched only
+    against the probe set of the generation that assigned it. The new
+    quantizer is the old one's cells rolled by one (every cell id
+    moves, recall stays structurally 1 on the clustered fixture), so
+    the same exact brute-force oracle must match value-for-value."""
+    import tempfile
+
+    import numpy as np
+
+    from sql_graph_visualizer_spark.operators.similarity_index import IvfIndex
+
+    base = tempfile.mkdtemp(prefix="sgv_ivfrt_")
+    e = _clustered_embeddings(spark, sf_dir)
+    idx = IvfIndex.create(spark, os.path.join(base, "ix"), centroids=np.eye(8))
+    idx.add_batch(e.filter("vec_id % 2 = 0"), epoch_id=0)
+    idx.retrain_begin(np.roll(np.eye(8), 1, axis=0))
+    idx.add_batch(e.filter("vec_id % 2 = 1"), epoch_id=1)  # pending-gen ingest
+    backlog = idx.retrain_remaining()
+    idx.retrain_step(backlog[: max(1, len(backlog) // 2)])  # half-migrated
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = idx.search(q, k=5, probes=2)
+    return got.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _rate_versions(spark: SparkSession) -> DataFrame:
     """Deterministic version table (the 'config active at time T' shape):
     10 keys × 10 versions every 3 days from 2023-12-31 — both engines
@@ -1592,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         # --- NEW r7 ---
         "dedup_apply_survivors": q_dedup_apply_survivors,
+        "sim_ivf_retrained": q_sim_ivf_retrained,
         # --- prior window (families keeping their representative) ---
         "text_decontam": q_text_decontam,
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
@@ -1645,7 +1678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental_minhash": q_dedup_incremental_minhash,  # NEW r6
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ivf_incremental": q_sim_ivf_incremental,  # NEW r6
         # --- rotated OUT (each holds 1-4 prior hash-exact driver rows;
         # family coverage inside the window is noted per entry) ---
         "cdc_final_state": q_cdc_final_state,  # mor/batch_op/stream siblings
@@ -1673,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,  # green r5 row; minhash family in window
         "sim_ivf_topk": q_sim_ivf_topk,  # green r5 row; ivf_incremental in window
         # rotated out in r7 (green r6 rows; families stay covered)
+        "sim_ivf_incremental": q_sim_ivf_incremental,  # sim_ivf_retrained in window
         "text_decontam_shuffle": q_text_decontam_shuffle,  # text_decontam in window
         "text_decontam_normalized": q_text_decontam_normalized,  # ditto
         "graph_search_nodes": q_graph_search_nodes,  # graph_search_props in window
@@ -2418,6 +2451,8 @@ FROM dims
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,
         "sim_ivf_incremental": _IVF_CLUSTERED_SQL,
+        # mid-retrain search == the same exact brute-force top-k
+        "sim_ivf_retrained": _IVF_CLUSTERED_SQL,
         "sim_cosine_topk": _COSINE_TOPK_SQL,
         "text_quality": _text_quality_sql(),
     }

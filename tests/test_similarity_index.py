@@ -155,3 +155,65 @@ def test_search_and_ingest_mid_progressive_migration(spark, tmp_path):
     idx.table.rebucket_finish()
     assert idx.table.manifest()["num_buckets"] == 8
     assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp_full
+
+
+# ---------------------------------------------------------------- retrain
+
+
+def test_search_mid_retrain_equals_oracle(spark, tmp_path):
+    """VERDICT r6 #4: a HALF-migrated index (some rows assigned by the
+    old quantizer, some by the pending one, plus fresh ingest tagged
+    with the pending generation) must search exactly like the one-shot
+    oracle — each row is matched only against the probe set of the
+    generation that assigned it."""
+    emb = _clustered(spark)
+    old_c = np.eye(8)
+    new_c = np.roll(np.eye(8), 1, axis=0)  # same directions, every cell id moves
+    exp = _rows(ivf_topk(emb, _queries(emb), k=5, probes=2, centroids=old_c))
+
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=old_c)
+    idx.add_batch(emb.filter("vec_id % 2 = 0"), epoch_id=0)
+    gen = idx.retrain_begin(new_c)
+    assert gen == 1
+    # fresh ingest DURING the retrain: assigned under the pending
+    # quantizer, never joins the migration backlog
+    idx.add_batch(emb.filter("vec_id % 2 = 1"), epoch_id=1)
+    backlog = idx.retrain_remaining()
+    assert backlog, "old-generation rows must exist"
+    # migrate only part of the backlog → genuinely mixed generations
+    idx.retrain_step(backlog[: max(1, len(backlog) // 2)])
+    assert idx.retrain_remaining(), "must still be mid-retrain"
+    assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp
+
+    # resume-to-completion (the crash-recovery entry point), then the
+    # promoted quantizer serves the same results
+    idx.retrain_progressive(cells_per_step=3)
+    assert idx.generation == 1 and idx.pending_centroids is None
+    assert idx.retrain_remaining() == []
+    assert _rows(idx.search(_queries(emb), k=5, probes=2)) == exp
+    gens = {r["qgen"] for r in idx.table.read().select("qgen").distinct().collect()}
+    assert gens == {1}
+    # a reopened handle sees the promoted config
+    idx2 = IvfIndex(spark, str(tmp_path / "ix"))
+    assert idx2.generation == 1
+    assert _rows(idx2.search(_queries(emb), k=5, probes=2)) == exp
+
+
+def test_retrain_protocol_guards(spark, tmp_path):
+    emb = _clustered(spark).limit(64)
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=np.eye(8))
+    idx.add_batch(emb, epoch_id=0)
+    with pytest.raises(ValueError, match="no retrain active"):
+        idx.retrain_step([0])
+    idx.retrain_begin(np.roll(np.eye(8), 2, axis=0))
+    with pytest.raises(ValueError, match="already active"):
+        idx.retrain_begin(np.eye(8))
+    with pytest.raises(ValueError, match="retrain incomplete"):
+        idx.retrain_finish()
+    # the step writer pins the tombstone horizon (its LSNs are historic,
+    # no ordering claim) and finish retires the pin
+    idx.retrain_step(idx.retrain_remaining())
+    assert idx.table.safe_tombstone_horizon() == 0  # pinned
+    idx.retrain_finish()
+    assert idx.table.safe_tombstone_horizon() != 0  # pin retired
+    assert idx.generation == 1
