@@ -330,6 +330,12 @@ class SnapshotTable:
         # read sequence racing a popitem eviction raises KeyError mid-run.
         # The lock covers dict ops only — file IO happens outside it.
         self._cache_lock = threading.Lock()
+        # Versions pinned against expire_snapshots by THIS process: a
+        # lazy plan built over an old snapshot (e.g. MinHashIndex's
+        # pre-batch probe) stays evaluable until released. In-memory by
+        # design — pins die with the process that owns the plans they
+        # protect; cross-process readers use retention (keep_last).
+        self._pinned_versions: set[int] = set()
 
     # ------------------------------------------------------------------ DDL
 
@@ -421,6 +427,19 @@ class SnapshotTable:
         return sorted(
             int(f[1:9]) for f in self.io.listdir(snap_dir) if f.startswith("v") and f.endswith(".json")
         )
+
+    def pin_version(self, version: int) -> None:
+        """Keep ``version`` (manifest + every file it references) safe
+        from ``expire_snapshots`` run by THIS table instance, until
+        ``unpin_version``. Use when a lazy plan over an old snapshot
+        must stay evaluable across maintenance (the probe-vs-GC race,
+        VERDICT r6 #5)."""
+        with self._cache_lock:
+            self._pinned_versions.add(int(version))
+
+    def unpin_version(self, version: int) -> None:
+        with self._cache_lock:
+            self._pinned_versions.discard(int(version))
 
     def _commit_with_rebase(
         self,
@@ -1887,6 +1906,8 @@ class SnapshotTable:
         snap_dir = os.path.join(self.path, _SNAP_DIR)
         versions = self.versions()
         keep = set(versions[-keep_last:])
+        with self._cache_lock:
+            keep |= {v for v in self._pinned_versions if v in versions}
         if older_than_seconds is not None:
             cutoff = time.time() - older_than_seconds
             for v in versions:

@@ -69,6 +69,17 @@ class MinHashIndex:
         self.shingle_n = int(cfg["shingle_n"])
         self.portable = bool(cfg["portable"])
         self.table = SnapshotTable(spark, os.path.join(path, _TABLE), io=self.io)
+        # the pre-batch version the latest add_batch probe reads; pinned
+        # against snapshot GC until the next add_batch (or an explicit
+        # release) so the lazily-returned matches frame stays evaluable
+        self._probe_pin: int | None = None
+
+    def release_probe_pin(self) -> None:
+        """Declare the last ``add_batch`` probe consumed: its pre-batch
+        snapshot may be garbage-collected again."""
+        if self._probe_pin is not None:
+            self.table.unpin_version(self._probe_pin)
+            self._probe_pin = None
 
     @classmethod
     def create(
@@ -214,8 +225,16 @@ class MinHashIndex:
         # the probe plan pins the PRE-batch manifest at build time (file
         # lists are resolved eagerly, data files are immutable), so it
         # stays valid — and pre-batch-scoped — even when evaluated after
-        # the merge below commits. Consume it before snapshot GC
-        # (`expire_snapshots`) retires the pre-batch version's files.
+        # the merge below commits. The pre-batch VERSION is additionally
+        # pinned against expire_snapshots (VERDICT r6 #5: without the
+        # pin, a caller holding the matches frame across a maintenance
+        # sweep got file-not-found at evaluation); the pin rotates on
+        # the next add_batch and is droppable via release_probe_pin().
+        pre_version = int(self.table.manifest()["version"])
+        self.table.pin_version(pre_version)
+        if self._probe_pin is not None and self._probe_pin != pre_version:
+            self.table.unpin_version(self._probe_pin)
+        self._probe_pin = pre_version
         matches = self._probe_sigs(sigs).filter(F.col("est_jaccard") >= threshold)
         batch = sigs.select(
             F.col("id").alias("doc_id"),

@@ -201,3 +201,47 @@ def test_probe_and_add_batch_mid_progressive_migration(spark, tmp_path):
     }
     assert after == expected_after
     assert idx.table.manifest()["num_buckets"] == 8
+
+
+def test_probe_pin_survives_snapshot_gc(spark, tmp_path):
+    """VERDICT r6 #5: a caller holding add_batch's lazily-returned
+    matches frame across an expire_snapshots sweep must still be able
+    to evaluate it — the pre-batch version is pinned against GC until
+    the next add_batch (or an explicit release), never file-not-found."""
+    docs = _docs(spark).limit(60)
+    idx = MinHashIndex.create(spark, str(tmp_path / "ix"), num_hashes=32, bands=8)
+    # several epochs of history so aggressive retention WOULD collect
+    # the pre-batch snapshot without the pin
+    for e in range(3):
+        m, _ = idx.add_batch(docs.filter(f"doc_id % 3 = {e}"), epoch_id=e, threshold=0.5)
+        m.collect()
+    pre = int(idx.table.manifest()["version"])
+    matches, st = idx.add_batch(
+        docs.filter("doc_id % 2 = 0"), epoch_id=3, threshold=0.5
+    )
+    assert not st.skipped
+    # maintenance races the unconsumed probe: keep only the newest
+    # snapshot — the pinned pre-batch version must survive
+    idx.table.expire_snapshots(keep_last=1, older_than_seconds=0)
+    assert pre in idx.table.versions()  # pinned
+    rows = matches.collect()  # evaluates the pre-batch-scoped plan
+    assert {r.new_id for r in rows} <= {r.doc_id for r in docs.collect()}
+    # released pin → the old snapshot is collectable again
+    idx.release_probe_pin()
+    idx.table.expire_snapshots(keep_last=1, older_than_seconds=0)
+    assert pre not in idx.table.versions()
+    # and the rotation: the NEXT add_batch retires the previous pin
+    m2, _ = idx.add_batch(
+        spark.createDataFrame([(999, "fresh text for pin rotation check")],
+                              "doc_id long, text string"),
+        epoch_id=4, threshold=0.5,
+    )
+    first_pin = idx._probe_pin
+    idx.add_batch(
+        spark.createDataFrame([(1000, "another fresh text rotating the pin")],
+                              "doc_id long, text string"),
+        epoch_id=5, threshold=0.5,
+    )
+    assert idx._probe_pin != first_pin
+    idx.table.expire_snapshots(keep_last=1, older_than_seconds=0)
+    assert first_pin not in idx.table.versions()
