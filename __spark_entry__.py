@@ -158,6 +158,65 @@ def _replayed(spark: SparkSession, sf_dir: str, variant: str = "batch") -> Snaps
 # ------------------------------------------------------------ CDC queries
 
 
+_SECRET_PASSAGE = (
+    "zulu quill aperture benchmark passage keeps flowing through eleven gates"
+)
+
+
+def q_cdc_ingest_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with the per-batch hygiene stage ON (new r7,
+    VERDICT r6 #6): the events-derived CDC log is deterministically
+    augmented — every 13th LSN's text becomes a benchmark passage,
+    every 7th gains synthetic PII — then replayed through
+    ``replay_stream`` with ``IngestTransforms`` redacting PII and
+    dropping benchmark-contaminated events online (8-gram overlap ≥
+    0.5, the GPT-3 appendix-C step applied in the loop); redact/drop
+    counters flow to the lineage table under ``<qid>-transforms``. The
+    DuckDB oracle rebuilds the identical augmented log, drops the same
+    rows, replays the redaction byte-for-byte, and computes the LWW
+    final state independently."""
+    from sql_graph_visualizer_spark.streaming.transforms import IngestTransforms
+
+    base = tempfile.mkdtemp(prefix="sgv_tf_")
+    log = derive_cdc_log(spark, sf_dir)
+    seq, nondel = F.col("seq"), F.col("op") != "delete"
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" mail bob"),
+        (seq % 5).cast("string"),
+        F.lit("@ex.com ip 10.0."),
+        (seq % 3).cast("string"),
+        F.lit(".1"),
+    )
+    log = log.withColumn(
+        "text",
+        F.when(nondel & (seq % 13 == 1), F.lit(_SECRET_PASSAGE))
+        .when(nondel & (seq % 7 == 0), pii)
+        .otherwise(F.col("text")),
+    )
+    log_dir = os.path.join(base, "log")
+    write_cdc_log_dir(log, log_dir, num_files=8)
+    table = SnapshotTable.create(
+        spark, os.path.join(base, "t"), TRANSCRIPT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=16,
+    )
+    bench = spark.createDataFrame([(1, _SECRET_PASSAGE)], "doc_id long, text string")
+    tf = IngestTransforms(
+        redact_cols=["text"], benchmark=bench, decontam_n=8,
+        decontam_threshold=0.5, id_cols=["conv_id", "turn_idx", "seq"],
+    )
+    lin = LineageRecorder(spark, os.path.join(base, "lineage"))
+    replay_stream(
+        spark, log_dir, table, os.path.join(base, "ckpt"),
+        max_files_per_trigger=3, lineage=lin, transforms=tf,
+    )
+    # the hygiene counters are part of the observable contract: at least
+    # one epoch must have redacted and dropped something
+    assert sum(s.upserts for s in tf.stats) > 0
+    assert sum(s.deletes for s in tf.stats) > 0
+    return table.read()
+
+
 def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full engine replay (4 epoch-fenced MERGE commits), read
     final table state. Reference semantics: final state as pure function
@@ -1625,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r7 ---
         "dedup_apply_survivors": q_dedup_apply_survivors,
         "sim_ivf_retrained": q_sim_ivf_retrained,
+        "cdc_ingest_transforms": q_cdc_ingest_transforms,
         # --- prior window (families keeping their representative) ---
         "text_decontam": q_text_decontam,
         "graph_uses_tool_edges": q_graph_uses_tool_edges,
@@ -1638,7 +1698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_nations": q_set_union_nations,
         "agg_pivot_priority": q_agg_pivot_priority,
         "scalar_date_trunc": q_scalar_date_trunc,
-        "api_nodes_by_type": q_api_nodes_by_type,
         "text_repetition": q_text_repetition,
         # --- retained window: one representative per operator family ---
         # CDC engine core
@@ -1710,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam_normalized": q_text_decontam_normalized,  # ditto
         "graph_search_nodes": q_graph_search_nodes,  # graph_search_props in window
         "cross_region_pairs": q_cross_region_pairs,  # join_theta_pairs covers J4/J7
+        "api_nodes_by_type": q_api_nodes_by_type,  # graph_nodes_by_type in window
     }
 
 
@@ -1736,6 +1796,45 @@ FROM aug
 
 
 _WINNERS = "WITH " + CDC_WINNERS_CTE
+
+# cdc_ingest_transforms: identical augmented log, the same drop set
+# (contamination is 1.0 exactly on the benchmark-passage rows and 0
+# elsewhere — no other text shares an 8-gram with it), the redaction
+# replayed byte-for-byte on the LWW winners (per-row transform, so
+# transform-then-merge == merge-then-transform).
+_INGEST_TRANSFORMS_SQL = (
+    "WITH "
+    + CDC_LOG_CTE
+    + r""",
+cdcx AS (
+  SELECT seq, op, conv_id, turn_idx, role,
+    CASE WHEN op <> 'delete' AND seq % 13 = 1
+           THEN '"""
+    + _SECRET_PASSAGE
+    + r"""'
+         WHEN op <> 'delete' AND seq % 7 = 0
+           THEN text || ' mail bob' || CAST(seq % 5 AS VARCHAR)
+                || '@ex.com ip 10.0.' || CAST(seq % 3 AS VARCHAR) || '.1'
+         ELSE text END AS text,
+    tool, ts
+  FROM cdc
+),
+kept AS (
+  SELECT * FROM cdcx WHERE NOT (op <> 'delete' AND seq % 13 = 1)
+),
+winners AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) = 1
+)
+SELECT conv_id, turn_idx, role,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b', '[IP]', 'g'),
+      '\+?[0-9][0-9()\- ]{6,14}[0-9]', '[PHONE]', 'g') AS text,
+  tool, ts
+FROM winners WHERE op <> 'delete'
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1781,6 +1880,7 @@ WHERE NOT s.br AND il.ilen >= 3
         "cdc_compact_lww": _WINNERS
         + "SELECT conv_id, turn_idx, seq, op, role, text, tool, ts FROM winners",
         "cdc_final_state_batch_op": FINAL_STATE_SQL,
+        "cdc_ingest_transforms": _INGEST_TRANSFORMS_SQL,
         "cdc_schema_evolution": FINAL_STATE_MODEL_SQL,
         "cdc_tombstones": _WINNERS
         + """

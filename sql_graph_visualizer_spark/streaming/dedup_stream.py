@@ -91,6 +91,8 @@ class DedupIngest:
         corpus_path: str | None = None,
         doc_schema: T.StructType = DOC_STREAM_SCHEMA,
         corpus_buckets: int = 16,
+        transforms=None,
+        lineage=None,
     ):
         self.spark = spark
         self.index = index
@@ -131,6 +133,11 @@ class DedupIngest:
         # application order — the corpus-side twin of the returned
         # (index, matches) stats tuple
         self.corpus_stats: list[tuple[MergeStats, MergeStats]] = []
+        # optional per-batch hygiene stage (streaming/transforms.py):
+        # PII redaction + online decontamination BEFORE probe/index —
+        # signatures are computed over the text that actually lands
+        self.transforms = transforms
+        self.lineage = lineage
 
     def _find_epoch_version(self, epoch_id: int) -> int | None:
         """Index-table snapshot version of the commit that carried this
@@ -172,6 +179,9 @@ class DedupIngest:
 
     def process(self, batch: DataFrame, epoch_id: int) -> tuple[MergeStats, MergeStats]:
         epoch_id = int(epoch_id)
+        if self.transforms is not None:
+            batch = self.transforms.apply(batch, epoch_id)
+            self.transforms.record(self.lineage, self.query_id)
         matches, st = self.index.add_batch(
             batch,
             epoch_id=epoch_id,

@@ -146,6 +146,7 @@ def replay_stream(
     auto_compact_async: bool = False,
     ordered_source: bool = False,
     unpin_on_drain: bool = False,
+    transforms=None,
 ):
     """Replay a file-backed CDC log into ``table``.
 
@@ -205,6 +206,11 @@ def replay_stream(
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
+        if transforms is not None:
+            # per-batch hygiene stage (streaming/transforms.py): PII
+            # redaction + online benchmark decontamination; counters
+            # flow to the lineage table under <query_id>-transforms
+            batch = transforms.apply(batch, int(epoch_id))
         # merge_upsert's winner selection is a fixed-width hash aggregate
         # (map-side combined), so hot-conversation update storms collapse
         # before the shuffle and the default path needs no pre-compaction.
@@ -224,6 +230,8 @@ def replay_stream(
         stats.append(st)
         if lineage is not None:
             lineage.record(st, query_id=query_id)
+            if transforms is not None:
+                transforms.record(lineage, query_id)
         if on_batch is not None:
             on_batch(batch, int(epoch_id), st)
         if auto_compact_layers is not None and merge_mode == "mor":

@@ -425,3 +425,67 @@ def test_unordered_pin_lifecycle_guards(spark, tmp_path):
     assert sorted(map(tuple, t2.read().collect())) == sorted(
         map(tuple, final_state(log, payload_cols=("role", "text", "tool", "ts")).collect())
     )
+
+
+def test_ingest_transforms_redact_decontam_with_lineage_counts(spark, tmp_path):
+    """VERDICT r6 #6: PII redaction + online benchmark decontamination
+    as per-batch transforms in replay_stream. Final table state must
+    equal the batch oracle (same transforms applied to the whole log at
+    once — both are per-row decisions, so batch boundaries can't matter)
+    and the redact/drop counters must land in the lineage table under
+    <query_id>-transforms."""
+    from sql_graph_visualizer_spark.operators.decontam import ngram_contamination
+    from sql_graph_visualizer_spark.operators.text import redact_pii
+    from sql_graph_visualizer_spark.streaming.transforms import IngestTransforms
+
+    secret = "the secret benchmark sentence appears here exactly verbatim"
+    log = gen_cdc_log(spark, 1200, num_convs=10, turns_per_conv=6)
+    log = log.withColumn(
+        "text",
+        F.when(F.col("seq") % 7 == 0, F.concat(F.col("text"), F.lit(" mail bob@x.io ip 10.0.0.1")))
+        .when(F.col("seq") % 11 == 3, F.lit(secret))
+        .otherwise(F.col("text")),
+    )
+    bench = spark.createDataFrame([(1, secret)], "doc_id long, text string")
+
+    # oracle: same per-row transforms over the WHOLE log, then LWW
+    redacted = log.withColumn("text", redact_pii(F.col("text")))
+    contaminated = ngram_contamination(
+        redacted.withColumn("__tid", F.xxhash64("conv_id", "turn_idx", "seq")),
+        bench, n=3, id_col="__tid",
+    ).filter("contamination >= 0.5").select(F.col("doc_id").alias("__tid"))
+    clean = (
+        redacted.withColumn("__tid", F.xxhash64("conv_id", "turn_idx", "seq"))
+        .join(contaminated, "__tid", "left_anti")
+        .drop("__tid")
+    )
+    expected = _expected(clean)
+    n_dropped_exp = log.count() - clean.count()
+    assert n_dropped_exp > 0, "fixture must drop contaminated events"
+
+    log_dir = str(tmp_path / "log")
+    write_cdc_log_dir(log, log_dir, num_files=4)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    lin = LineageRecorder(spark, str(tmp_path / "lin"))
+    tf = IngestTransforms(
+        redact_cols=["text"], benchmark=bench, decontam_n=3,
+        decontam_threshold=0.5, id_cols=["conv_id", "turn_idx", "seq"],
+    )
+    replay_stream(
+        spark, log_dir, t, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, lineage=lin, transforms=tf,
+    )
+    assert _state(t) == expected
+    # counters: upserts = PII values redacted, deletes = rows dropped
+    rows = (
+        lin.table.read()
+        .filter("query_id = 'cdc-replay-transforms'")
+        .collect()
+    )
+    assert rows, "transform counters must reach the lineage table"
+    # 1 email + 1 ip per PII-augmented row; delete events carry null
+    # text (concat with null stays null → nothing to redact or count)
+    n_pii_exp = log.filter("seq % 7 = 0 and text is not null").count() * 2
+    assert sum(r.upserts for r in rows) == n_pii_exp
+    assert sum(r.deletes for r in rows) == n_dropped_exp
+    assert sum(r.rows_in for r in rows) == log.count()
