@@ -131,6 +131,11 @@ def test_crash_window_with_expired_snapshot_fences_without_crashing(spark, tmp_p
         query_id=ingest.query_id,
         threshold=THRESHOLD,
     )
+    # the scenario is a CRASHED ingest process: its in-memory probe pin
+    # (r7 GC guard) died with it, so the restarted maintenance sweep is
+    # free to retire the pre-batch snapshot — model that by dropping
+    # the pin before expiring
+    idx.release_probe_pin()
     idx.table.expire_snapshots(keep_last=1, older_than_seconds=0)
     assert ingest._find_epoch_version(1) is None  # history truly gone
     before = ingest.read().count()
