@@ -1403,6 +1403,27 @@ def q_sim_ivf_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer TRAINING (new r7) — deterministic Lloyd's
+    k-means (``operators/similarity.train_centroids``), the missing
+    first arc of the IVF lifecycle (``cell_stats`` diagnoses →
+    ``train_centroids`` fits → ``retrain_progressive`` migrates →
+    ``search``). Fully relational: posexplode → broadcast k×dim
+    centroid join → decimal hash-agg distances (summation-order
+    invariant, so the argmin is plan-stable) → rounded decimal means,
+    2 unrolled Lloyd rounds seeded by the k smallest ids. The DuckDB
+    oracle replays the IDENTICAL training run (same seeds, same
+    decimal sums, same per-round rounding), so every trained
+    coordinate must match bit-for-bit — not just cluster recovery.
+    On the clustered fixture the means recover the 8 planted clusters
+    (one-hot direction ≈ 3.05, noise floor ≈ 0.05, ~n/8 members/cell).
+    """
+    from sql_graph_visualizer_spark.operators.similarity import train_centroids
+
+    e = _clustered_embeddings(spark, sf_dir)
+    return train_centroids(e, k=8, iterations=2)
+
+
 def _rate_versions(spark: SparkSession) -> DataFrame:
     """Deterministic version table (the 'config active at time T' shape):
     10 keys × 10 versions every 3 days from 2023-12-31 — both engines
@@ -1786,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_region_pairs": q_cross_region_pairs,  # join_theta_pairs covers J4/J7
         "api_nodes_by_type": q_api_nodes_by_type,  # graph_nodes_by_type in window
         "text_repetition": q_text_repetition,  # text_lang/quality/decontam in window
+        # --- NEW r7, post-window (battery-only this round; rotate into r8) ---
+        "sim_ivf_train": q_sim_ivf_train,  # k-means quantizer training, bit-exact oracle
     }
 
 
@@ -2578,6 +2601,7 @@ FROM dims
         "dedup_simhash": simhash_oracle_sql(max_hamming=3),
         "sim_lsh_ann": _COSINE_TOPK_SQL,
         "sim_ivf_topk": _IVF_CLUSTERED_SQL,
+        "sim_ivf_train": kmeans_oracle_sql(k=8, iterations=2),
         "sim_ivf_incremental": _IVF_CLUSTERED_SQL,
         # mid-retrain search == the same exact brute-force top-k
         "sim_ivf_retrained": _IVF_CLUSTERED_SQL,
@@ -2650,6 +2674,59 @@ WITH emb AS (
 SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 5
 """
+
+
+def kmeans_oracle_sql(k: int = 8, iterations: int = 2) -> str:
+    """Generate the DuckDB twin of ``train_centroids`` over the
+    clustered embeddings: the same exploded representation, the same
+    decimal-sum distances and rounded decimal means, the same seed rule
+    (k smallest ids) and tie-break (min cell), unrolled per Lloyd
+    round — bit-exact parity with the Spark training run."""
+    sql = """
+WITH base AS (
+  SELECT e.vec_id AS id, t.j AS pos,
+         (CASE WHEN t.j = e.vec_id % 8 THEN 3.0 ELSE 0.0 END
+          + CAST((e.vec_id*31 + t.j*17) % 97 AS DOUBLE)/97*0.1) AS val
+  FROM embeddings e, (SELECT unnest(range(0,8)) AS j) t
+),
+seeds AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cell
+  FROM (SELECT DISTINCT id FROM base) ORDER BY id LIMIT {k}
+),
+cent0 AS (
+  SELECT s.cell, b.pos, b.val AS cval FROM base b JOIN seeds s ON b.id = s.id
+)""".format(k=k)
+    step = """
+dists{n} AS (
+  SELECT b.id, c.cell,
+         SUM(CAST((b.val - c.cval)*(b.val - c.cval) AS DECIMAL(28,16))) AS dist
+  FROM base b JOIN cent{p} c ON b.pos = c.pos
+  GROUP BY b.id, c.cell
+),
+assign{n} AS (
+  SELECT id, cell FROM (
+    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+    FROM dists{n}
+  ) WHERE rn = 1
+),
+upd{n} AS (
+  SELECT a.cell, b.pos,
+         round(CAST(SUM(CAST(b.val AS DECIMAL(28,16))) AS DOUBLE) / COUNT(b.val), 9) AS nval
+  FROM assign{n} a JOIN base b ON a.id = b.id
+  GROUP BY a.cell, b.pos
+),
+cent{n} AS (
+  SELECT c.cell, c.pos, COALESCE(u.nval, c.cval) AS cval
+  FROM cent{p} c LEFT JOIN upd{n} u ON c.cell = u.cell AND c.pos = u.pos
+)"""
+    for n in range(1, iterations + 1):
+        sql += "," + step.format(n=n, p=n - 1)
+    sql += """,
+members AS (SELECT cell, COUNT(id) AS n_members FROM assign{it} GROUP BY cell)
+SELECT c.cell, c.pos, c.cval AS centroid, COALESCE(m.n_members, 0) AS n_members
+FROM cent{it} c LEFT JOIN members m ON c.cell = m.cell
+""".format(it=iterations)
+    return sql
 
 
 _COSINE_TOPK_SQL = """

@@ -298,3 +298,149 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# ----------------------------------------------------- quantizer training
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    missing first arc of the IVF lifecycle. ``cell_stats`` diagnoses a
+    hot cell ("the quantizer under-fits; re-train and rebuild"),
+    :meth:`IvfIndex.retrain_progressive` migrates to a new quantizer —
+    this operator TRAINS that quantizer, closing the loop:
+
+        cell_stats → train_centroids → retrain_progressive → search
+
+    Returns one row per (cell, dimension):
+    ``(cell long, pos long, centroid double, n_members long)`` where
+    ``n_members`` is the cell's population under the assignment that
+    produced the final means. Feed :func:`centroids_matrix` to get the
+    (k × dim) ndarray ``retrain_begin`` / ``ivf_topk`` expect.
+
+    Everything is deliberately RELATIONAL — no Arrow round-trip, no
+    higher-order folds in the hot path (HOFs evaluate interpreted
+    per-row; explode + hash-agg is the codegen path):
+
+    - vectors are ``posexplode``d once to fixed-width ``(id, pos, val)``
+      rows; every later step is a hash aggregate or an equi-join;
+    - the distance step joins that exploded table to the k×dim centroid
+      rows — BROADCAST (kilobytes) — and hash-aggregates
+      ``sum((val-cval)²)`` per (id, cell): map-side combinable,
+      corpus never shuffles on anything wider than the agg keys;
+    - per-term squares are summed as ``DECIMAL(28,16)`` so the sum is
+      summation-order invariant → bit-stable across partitionings and
+      engines (argmin over floats would otherwise be plan-dependent);
+    - new means are decimal sums cast to double, divided by the count
+      and rounded to ``round_digits`` — each iteration's centroids are
+      therefore EXACTLY representable inputs to the next iteration,
+      which is what makes an external SQL oracle possible for the whole
+      training run, not just one step.
+
+    Determinism contract: seeds are the ``k`` smallest ids' vectors
+    (cell i = rank-i id); argmin ties break toward the smaller cell id;
+    a cell that loses all members keeps its previous centroid. Fixed
+    ``iterations`` (a coarse quantizer wants a handful of Lloyd rounds,
+    not convergence detection — at 10^10 vectors each extra round is a
+    full corpus pass).
+
+    100 TB design: train on a deterministic sample (``sample_mod=m``
+    keeps ids with ``id % m == 0`` — arithmetic, so an oracle can
+    reproduce it; k-means for a coarse quantizer NEVER needs the full
+    corpus), then assign the full corpus once via the index's Arrow
+    GEMM path. The k-row seed lookup is a sort-limit (TakeOrdered, no
+    global sort); the collect is k ids — bounded, like the IVF probe
+    set. Reference analogue: none (training-pipeline addition, same
+    family as ``ivf_topk``).
+    """
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select("id", F.col("pos").cast("long").alias("pos"), F.col("val").cast("double").alias("val"))
+    if sample_mod is not None:
+        base = base.filter(F.pmod(F.col("id"), F.lit(sample_mod)) == 0)
+
+    # seeds: the k smallest sampled ids, cell = rank. Driver-side k ids
+    # (bounded — same justified-collect shape as the IVF probe-cell set).
+    seed_ids = [r[0] for r in base.select("id").distinct().orderBy("id").limit(k).collect()]
+    if len(seed_ids) < k:
+        raise ValueError(f"need >= {k} distinct ids to seed {k} cells, got {len(seed_ids)}")
+    spark = embeddings.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(i), int(c)) for c, i in enumerate(seed_ids)], "id long, cell long"
+    )
+    cent = (
+        base.join(F.broadcast(seeds), "id")
+        .select("cell", "pos", F.col("val").alias("cval"))
+    )
+
+    members = None
+    for _ in range(iterations):
+        dists = (
+            base.join(F.broadcast(cent), "pos")
+            .groupBy("id", "cell")
+            .agg(
+                F.sum(
+                    ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(
+                        "decimal(28,16)"
+                    )
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("id").orderBy("dist", "cell")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("id", "cell")
+        )
+        upd = (
+            assign.join(base, "id")
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(28,16)")).cast("double") / F.count("val"),
+                    round_digits,
+                ).alias("nval")
+            )
+        )
+        # empty-cell guard: a cell with no members keeps its previous
+        # centroid (deterministic; the alternative — dropping the cell —
+        # would silently change k mid-run)
+        cent = (
+            cent.join(upd, ["cell", "pos"], "left")
+            .select("cell", "pos", F.coalesce("nval", "cval").alias("cval"))
+        )
+        members = assign.groupBy("cell").agg(F.count("id").alias("n_members"))
+
+    return (
+        cent.join(members, "cell", "left")
+        .select(
+            "cell",
+            "pos",
+            F.col("cval").alias("centroid"),
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        )
+    )
+
+
+def centroids_matrix(trained: DataFrame) -> np.ndarray:
+    """Collect a ``train_centroids`` result into the (k × dim) float64
+    ndarray that ``ivf_topk(centroids=...)`` / ``IvfIndex.create`` /
+    ``retrain_begin`` take. k × dim doubles — kilobytes, the
+    model-artifact handoff."""
+    rows = trained.select("cell", "pos", "centroid").collect()
+    k = max(r["cell"] for r in rows) + 1
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((k, dim), dtype=np.float64)
+    for r in rows:
+        C[r["cell"], r["pos"]] = r["centroid"]
+    return C

@@ -217,3 +217,95 @@ def test_retrain_protocol_guards(spark, tmp_path):
     idx.retrain_finish()
     assert idx.table.safe_tombstone_horizon() != 0  # pin retired
     assert idx.generation == 1
+
+
+# ------------------------------------------------- quantizer training
+
+
+def test_train_centroids_recovers_planted_clusters(spark):
+    """Lloyd's k-means on the clustered fixture must recover the 8
+    planted clusters: each trained centroid has its dominant mass on
+    one distinct one-hot direction (≈3.0 + noise floor), and every
+    fixture vector's cluster is represented."""
+    from sql_graph_visualizer_spark.operators.similarity import (
+        centroids_matrix,
+        train_centroids,
+    )
+
+    emb = _clustered(spark)
+    trained = train_centroids(emb, k=8, iterations=2)
+    C = centroids_matrix(trained)
+    assert C.shape == (8, 8)
+    # dominant coordinate per centroid ≈ the planted 3.0 direction
+    dom = C.argmax(axis=1)
+    assert sorted(dom.tolist()) == list(range(8))  # a bijection onto clusters
+    assert (C.max(axis=1) > 2.5).all()
+    off = C.copy()
+    off[range(8), dom] = 0.0
+    assert (off < 0.2).all()  # noise floor, not a second cluster
+    n = emb.count()
+    members = {r["cell"]: r["n_members"] for r in trained.select("cell", "n_members").distinct().collect()}
+    assert sum(members.values()) == n
+
+
+def test_train_centroids_sample_and_empty_cell_guard(spark):
+    """sample_mod trains on the deterministic id subsample; a cell that
+    captures no members keeps its previous centroid instead of
+    vanishing (k stays k)."""
+    from sql_graph_visualizer_spark.operators.similarity import train_centroids
+
+    emb = _clustered(spark)
+    # train on ids ≡ 0 (mod 2) — seeds are then the 8 smallest EVEN ids
+    trained = train_centroids(emb, k=8, iterations=1, sample_mod=2)
+    got_cells = {r["cell"] for r in trained.select("cell").distinct().collect()}
+    assert got_cells == set(range(8))
+    n_even = emb.filter("vec_id % 2 = 0").count()
+    members = {r["cell"]: r["n_members"] for r in trained.select("cell", "n_members").distinct().collect()}
+    assert sum(members.values()) == n_even
+    # empty-cell guard: 2 vectors, k=2, 1 iteration — both seeds are the
+    # two vectors themselves; every cell keeps a centroid even if one
+    # captures both points in a later round
+    tiny = emb.filter("vec_id < 2")
+    t2 = train_centroids(tiny, k=2, iterations=3)
+    assert t2.select("cell").distinct().count() == 2
+    # too few distinct ids to seed k cells fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct ids"):
+        train_centroids(emb.filter("vec_id < 3"), k=8)
+
+
+def test_trained_quantizer_closes_the_retrain_loop(spark, tmp_path):
+    """The full lifecycle arc: an index created with a DELIBERATELY bad
+    quantizer (all mass lands in few cells) is retrained with
+    train_centroids' output via the progressive protocol, after which
+    (a) search still equals the exact brute-force oracle and (b) the
+    cell histogram is balanced — the hot-cell failure mode cell_stats
+    diagnoses is actually FIXED by the trained centroids."""
+    from sql_graph_visualizer_spark.operators.similarity import (
+        centroids_matrix,
+        cosine_topk,
+        train_centroids,
+    )
+
+    emb = _clustered(spark)
+    # bad quantizer: 7 copies of e_0 plus one e_1 — clusters 2-7 have no
+    # aligned direction, so their mass piles onto whichever of the two
+    # real directions their NOISE favors (cosine argmax ties break to
+    # the first cell): a genuinely hot cell 0
+    bad = np.vstack([np.tile(np.eye(8)[0], (7, 1)), np.eye(8)[1]])
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=bad)
+    idx.add_batch(emb, epoch_id=0)
+    before = idx.cell_stats().collect()
+    assert max(r["n_vectors"] for r in before) > emb.count() // 4  # genuinely hot
+    C = centroids_matrix(train_centroids(emb, k=8, iterations=2))
+    idx.retrain_progressive(C, cells_per_step=3)
+    after = {r["cell"]: r["n_vectors"] for r in idx.cell_stats().collect()}
+    assert len(after) == 8 and max(after.values()) <= 2 * min(after.values())
+    got = _rows(idx.search(_queries(emb), k=5, probes=2))
+    exp = _rows(
+        cosine_topk(emb, _queries(emb), k=5).withColumn(
+            "rank", F.col("rank").cast("int")
+        )
+    )
+    assert got and {(q, v) for q, v, *_ in got} == {(q, v) for q, v, *_ in exp}
