@@ -432,3 +432,58 @@ class IvfIndex:
     def stats(self) -> dict[str, int]:
         """Indexed-corpus size from manifest metadata (no data IO)."""
         return self.table.size_stats()
+
+    def maybe_retrain(
+        self,
+        hot_share: float = 0.5,
+        iterations: int = 2,
+        sample_mod: int | None = None,
+        cells_per_step: int = 8,
+        query_id: str = "ivf-auto-retrain",
+    ) -> int:
+        """Maintenance hook closing the hot-cell loop OPERATIONALLY —
+        the ``maybe_compact_deltas`` shape applied to the quantizer:
+        call it on a timer / every N epochs, and a quantizer that has
+        drifted under the corpus fixes itself.
+
+        If the hottest cell holds more than ``hot_share`` of the
+        indexed corpus (the under-fit signature ``cell_stats``
+        diagnoses), fit fresh centroids over the indexed embeddings
+        with :func:`~sql_graph_visualizer_spark.operators.similarity.
+        train_centroids` (same k, deterministic; ``sample_mod``
+        subsamples at large corpus sizes) and run the progressive
+        retrain protocol to completion. A retrain already in flight is
+        RESUMED rather than re-diagnosed — the protocol completes
+        forward. Returns the number of migration steps executed
+        (0 = balanced, nothing to do).
+
+        Search and ingest stay available and correct throughout — this
+        is pure maintenance, safe to fire from the same place as delta
+        compaction. The skew scan is one hash-agg over the index table
+        (fixed-width cell column); training only runs once the
+        threshold trips."""
+        from sql_graph_visualizer_spark.operators.similarity import (
+            centroids_matrix,
+            train_centroids,
+        )
+
+        if self.pending_centroids is not None:
+            return self.retrain_progressive(
+                cells_per_step=cells_per_step, query_id=query_id
+            )
+        counts = self.cell_stats().collect()
+        total = sum(r["n_vectors"] for r in counts)
+        if total == 0 or max(r["n_vectors"] for r in counts) <= hot_share * total:
+            return 0
+        k = self.cells
+        trained = train_centroids(
+            self.table.read().select("vec_id", "embedding"),
+            k=k,
+            iterations=iterations,
+            sample_mod=sample_mod,
+        )
+        return self.retrain_progressive(
+            centroids_matrix(trained),
+            cells_per_step=cells_per_step,
+            query_id=query_id,
+        )

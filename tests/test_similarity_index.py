@@ -309,3 +309,31 @@ def test_trained_quantizer_closes_the_retrain_loop(spark, tmp_path):
         )
     )
     assert got and {(q, v) for q, v, *_ in got} == {(q, v) for q, v, *_ in exp}
+
+
+def test_maybe_retrain_fixes_hot_cell_and_noops_when_balanced(spark, tmp_path):
+    """The maintenance hook: a collapsed quantizer trips the hot-share
+    threshold, self-trains on the indexed corpus, and migrates to
+    balance; a balanced index is a 0-step no-op; an in-flight retrain
+    is resumed rather than re-diagnosed."""
+    from sql_graph_visualizer_spark.operators.similarity import cosine_topk
+
+    emb = _clustered(spark)
+    bad = np.vstack([np.tile(np.eye(8)[0], (7, 1)), np.eye(8)[1]])
+    idx = IvfIndex.create(spark, str(tmp_path / "ix"), centroids=bad)
+    idx.add_batch(emb, epoch_id=0)
+    steps = idx.maybe_retrain(hot_share=0.4, cells_per_step=4)
+    assert steps > 0 and idx.pending_centroids is None
+    after = {r["cell"]: r["n_vectors"] for r in idx.cell_stats().collect()}
+    assert len(after) == 8 and max(after.values()) <= 2 * min(after.values())
+    got = _rows(idx.search(_queries(emb), k=5, probes=2))
+    exp = _rows(
+        cosine_topk(emb, _queries(emb), k=5).withColumn("rank", F.col("rank").cast("int"))
+    )
+    assert got and {(q, v) for q, v, *_ in got} == {(q, v) for q, v, *_ in exp}
+    # balanced now: the hook is a no-op
+    assert idx.maybe_retrain(hot_share=0.4) == 0
+    # staged-but-unfinished retrain is resumed, not re-diagnosed
+    idx.retrain_begin(np.roll(idx.centroids, 1, axis=0))
+    steps2 = idx.maybe_retrain(hot_share=0.4, cells_per_step=4)
+    assert steps2 > 0 and idx.pending_centroids is None
