@@ -1655,6 +1655,23 @@ def q_mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synthesize_wav(docs))
 
 
+def q_mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec (new r7, second real codec after WAV): Windows
+    BMP containers (24bpp BGR, bottom-up rows, stride padding) are
+    packed per doc id with stdlib ``struct``, then parsed back inside
+    an Arrow ``mapInPandas`` stage and reduced to integer audit stats.
+    The DuckDB oracle predicts every channel value arithmetically
+    (r = (id·5+x+y·7)%256 …), and ``wsum_r`` weights red by image
+    position (1+x+y·w) so a mis-flipped bottom-up decode or a stride
+    error breaks the hash — plain sums alone are orientation-blind.
+    A spec-literal golden-bytes test anchors the container format
+    independently (tests/test_multimodal.py)."""
+    from sql_graph_visualizer_spark.operators.multimodal import decode_bmp, synthesize_bmp
+
+    docs = _read(spark, sf_dir, "documents")
+    return decode_bmp(synthesize_bmp(docs))
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-index sampling (1 row → N rows via sequence+explode)."""
     return frame_sample(synthesize_media(_read(spark, sf_dir, "documents")), every_n=10)
@@ -1809,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,  # text_lang/quality/decontam in window
         # --- NEW r7, post-window (battery-only this round; rotate into r8) ---
         "sim_ivf_train": q_sim_ivf_train,  # k-means quantizer training, bit-exact oracle
+        "mm_decode_bmp": q_mm_decode_bmp,  # real image codec, golden-bytes anchored
     }
 
 
@@ -1920,6 +1938,26 @@ WHERE NOT s.br AND il.ilen >= 3
         + "SELECT conv_id, turn_idx, seq, op, role, text, tool, ts FROM winners",
         "cdc_final_state_batch_op": FINAL_STATE_SQL,
         "cdc_ingest_transforms": _INGEST_TRANSFORMS_SQL,
+        "mm_decode_bmp": """
+WITH px AS (
+  SELECT d.doc_id, xs.x, ys.y,
+         CAST(4 + d.doc_id % 13 AS BIGINT) AS w,
+         CAST(3 + d.doc_id % 7 AS BIGINT) AS h
+  FROM documents d,
+       (SELECT unnest(range(0, 17)) AS x) xs,
+       (SELECT unnest(range(0, 10)) AS y) ys
+  WHERE xs.x < 4 + d.doc_id % 13 AND ys.y < 3 + d.doc_id % 7
+)
+SELECT doc_id AS media_id,
+  CAST(min(w) AS INTEGER) AS width,
+  CAST(min(h) AS INTEGER) AS height,
+  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+  CAST(SUM((doc_id*5 + x + y*7) % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((doc_id*11 + x*13 + y*3) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((doc_id*7 + x*3 + y*5) % 256) AS BIGINT) AS sum_b,
+  CAST(SUM((1 + x + y*w) * ((doc_id*5 + x + y*7) % 256)) AS BIGINT) AS wsum_r
+FROM px GROUP BY doc_id
+""",
         "mm_decode_wav": """
 SELECT doc_id AS media_id,
   CAST(8000 AS INTEGER) AS sample_rate,

@@ -237,3 +237,128 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, WAV_DECODED_SCHEMA)
+
+
+# --------------------------------------------------------- real image codec
+
+BMP_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("wsum_r", T.LongType()),
+    ]
+)
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    # width NOT a multiple of 4 for most ids → the 24bpp row stride
+    # padding is actually exercised, not vacuously zero
+    return 4 + media_id % 13, 3 + media_id % 7
+
+
+def _bmp_channels(media_id: int, w: int, h: int):
+    """Deterministic RGB planes in IMAGE coordinates (x right, y DOWN):
+    r = (id·5 + x + y·7) % 256, g = (id·11 + x·13 + y·3) % 256,
+    b = (id·7 + x·3 + y·5) % 256. Pure integer arithmetic — an external
+    SQL oracle predicts every channel value without a codec."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w].astype(np.int64)
+    r = (media_id * 5 + x + y * 7) % 256
+    g = (media_id * 11 + x * 13 + y * 3) % 256
+    b = (media_id * 7 + x * 3 + y * 5) % 256
+    return r, g, b
+
+
+def synthesize_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL Windows BMP bytes (BITMAPINFOHEADER, 24bpp BGR, bottom-up
+    rows, 4-byte stride padding) packed with stdlib ``struct`` from
+    deterministic per-id pixel planes — the image twin of
+    ``synthesize_wav`` (a fixture generator standing in for
+    ``binaryFile`` reads over a real image lake)."""
+    import struct
+
+    import numpy as np
+
+    ids = docs.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = _bmp_dims(mid)
+                r, g, b = _bmp_channels(mid, w, h)
+                stride = (w * 3 + 3) & ~3
+                # bottom-up: last image row first; BGR byte order
+                px = np.zeros((h, stride), dtype=np.uint8)
+                row = np.empty((h, w, 3), dtype=np.uint8)
+                row[..., 0], row[..., 1], row[..., 2] = b, g, r
+                px[:, : w * 3] = row.reshape(h, w * 3)
+                body = px[::-1].tobytes()
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                blobs.append(hdr + info + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": blobs,
+                    "meta": [{"codec": "bmp24"}] * len(blobs),
+                }
+            )
+
+    return ids.mapInPandas(run, WAV_SCHEMA)
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """REAL image decode — the second actual codec in the multimodal
+    lane (audio: ``decode_wav``): parse each BMP container with stdlib
+    ``struct`` inside an Arrow ``mapInPandas`` stage — magic check,
+    pixel-array offset, 24bpp/uncompressed asserts, bottom-up row
+    unpacking with stride padding, BGR→RGB — and reduce to integer
+    audit stats. ``wsum_r`` weights each red value by its IMAGE-
+    coordinate position (1 + x + y·width), so a decoder that mis-flips
+    the bottom-up rows or mis-computes the stride produces a different
+    hash even though plain channel sums are orientation-invariant."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_pixels",
+                                   "sum_r", "sum_g", "sum_b", "wsum_r")}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                magic, _, _, _, off = struct.unpack_from("<2sIHHI", blob, 0)
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP payload (media_id={mid})")
+                _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+                stride = (w * 3 + 3) & ~3
+                rows = np.frombuffer(
+                    blob, dtype=np.uint8, count=h * stride, offset=off
+                ).reshape(h, stride)
+                img = rows[::-1, : w * 3].reshape(h, w, 3).astype(np.int64)  # top-down BGR
+                b_, g_, r_ = img[..., 0], img[..., 1], img[..., 2]
+                yx, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(r_.sum()))
+                out["sum_g"].append(int(g_.sum()))
+                out["sum_b"].append(int(b_.sum()))
+                out["wsum_r"].append(int(((1 + xx + yx * w) * r_).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, BMP_DECODED_SCHEMA)

@@ -90,3 +90,73 @@ def test_real_wav_roundtrip_decodes_exact_samples(spark):
         assert r.n_samples == n
         assert r.sum_abs == int(np.abs(s).sum())
         assert r.max_amp == int(s.max())
+
+
+def test_golden_bmp_bytes_decode_to_spec(spark):
+    """Independent anchor for the BMP codec pair: a 2×2 24bpp BMP built
+    LONGHAND from the format spec (not by synthesize_bmp — a writer and
+    reader sharing the same orientation/stride mistake would round-trip
+    clean, but cannot decode THIS). Pixels (image coords, top-left
+    origin): TL red, TR green, BL blue, BR white; bottom-up rows,
+    stride padded 6→8."""
+    from sql_graph_visualizer_spark.operators.multimodal import decode_bmp
+
+    golden = bytes.fromhex(
+        "424d460000000000000036000000"              # BITMAPFILEHEADER
+        "280000000200000002000000010018000000000010000000"
+        "130b0000130b00000000000000000000"           # BITMAPINFOHEADER
+        "ff0000ffffff0000"                           # bottom row: BL blue, BR white + pad
+        "0000ff00ff000000"                           # top row: TL red, TR green + pad
+    )
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(golden), {"codec": "bmp24"})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    r = decode_bmp(media).collect()[0]
+    assert (r.width, r.height, r.n_pixels) == (2, 2, 4)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (510, 510, 510)
+    # (1+x+y·w)·red: TL 1·255 + TR 2·0 + BL 3·0 + BR 4·255
+    assert r.wsum_r == 1275
+
+
+def test_real_bmp_roundtrip_decodes_exact_pixels(spark):
+    """synthesize→decode round trip against the closed-form planes, and
+    container sanity: magic, 54-byte headers, stride-padded body."""
+    from sql_graph_visualizer_spark.operators.multimodal import (
+        _bmp_channels,
+        _bmp_dims,
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 5, 12, 77, 12345)], "doc_id long")
+    media = synthesize_bmp(ids)
+    blob = bytes(media.filter("media_id = 5").collect()[0]["content"])
+    w5, h5 = _bmp_dims(5)
+    assert blob[:2] == b"BM" and len(blob) == 54 + ((w5 * 3 + 3) & ~3) * h5
+    got = {r.media_id: r for r in decode_bmp(media).collect()}
+    for mid in (0, 1, 5, 12, 77, 12345):
+        w, h = _bmp_dims(mid)
+        r_, g_, b_ = _bmp_channels(mid, w, h)
+        row = got[mid]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert (row.sum_r, row.sum_g, row.sum_b) == (
+            int(r_.sum()), int(g_.sum()), int(b_.sum()),
+        )
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+        assert row.wsum_r == int(((1 + xx + yy * w) * r_).sum())
+
+
+def test_decode_bmp_rejects_non_bmp(spark):
+    from sql_graph_visualizer_spark.operators.multimodal import decode_bmp
+
+    junk = spark.createDataFrame(
+        [(1, "image", bytearray(b"NOTABMP" * 20), {})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a BMP"):
+        decode_bmp(junk).collect()
