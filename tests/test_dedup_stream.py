@@ -321,3 +321,114 @@ def test_apply_survivors_batch_operator_orphan_guard(spark, tmp_path):
         touched_ids=spark.createDataFrame([(11,)], "doc_id long"),
     )
     assert {r.doc_id for r in t2.read().collect()} == {10, 20, 21}
+
+
+def test_soak_everything_on_streaming_dedup_pipeline(spark, tmp_path):
+    """Integration soak: every optional arm of the streaming dedup
+    pipeline ON at once — PII redaction + online decontamination
+    (transforms), probe-then-index, exactly-once matches, corpus
+    close-the-loop (apply_survivors), lineage counters, mid-run
+    snapshot GC on all three tables, and epoch re-delivery — and the
+    incremental result still equals the one-shot decision over the
+    TRANSFORMED corpus.
+
+    The fixture plants a pair that is a near-dup ONLY after redaction
+    (same text, different emails/phones: raw word-3-gram Jaccard
+    ≈ 5/17, redacted 1.0) — proving transforms run BEFORE shingling,
+    which is the whole point of ordering hygiene ahead of dedup."""
+    from sql_graph_visualizer_spark.streaming.metrics import LineageRecorder
+    from sql_graph_visualizer_spark.streaming.transforms import IngestTransforms
+    from sql_graph_visualizer_spark.operators.text import redact_pii
+    from pyspark.sql import functions as F
+
+    FAM_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    FAM_B = "one two three four five six seven eight nine ten"
+    PII_1 = "contact me at alice@example.com or call 555-123-4567 for details about shipping today"
+    PII_2 = "contact me at bob@example.org or call 555-999-8888 for details about shipping today"
+    BENCH = "the secret benchmark passage that must never enter the training corpus ever"
+    SOLO_1 = "completely different words with no overlap whatsoever here now"
+    SOLO_2 = "the quick brown fox jumps over the lazy dog tonight"
+    SOLO_3 = "pack my box with five dozen liquor jugs right away"
+    docs = {
+        10: FAM_A, 11: FAM_A, 12: FAM_A, 13: FAM_A,
+        20: FAM_B, 21: FAM_B,
+        30: PII_1, 31: PII_2,
+        40: SOLO_1, 41: SOLO_2, 42: SOLO_3,
+        50: BENCH,
+    }
+    epochs = [[10, 40], [11, 30], [20, 21], [50, 41], [31], [12], [42], [13]]
+
+    # the planted post-redaction-only pair: raw texts must NOT pair
+    raw_pair = minhash_lsh_pairs(
+        _docs_df(spark, [(30, PII_1), (31, PII_2)]), threshold=THRESHOLD, **PARAMS
+    )
+    assert raw_pair.count() == 0
+
+    benchmark = spark.createDataFrame([(BENCH,)], "text string")
+    transforms = IngestTransforms(
+        redact_cols=["text"], benchmark=benchmark, decontam_n=8,
+        decontam_threshold=0.5, id_cols=["doc_id"],
+    )
+    lineage = LineageRecorder(spark, str(tmp_path / "lineage"))
+    idx = MinHashIndex.create(spark, str(tmp_path / "ix"), **PARAMS)
+    ingest = DedupIngest(
+        spark, idx, str(tmp_path / "matches"), threshold=THRESHOLD,
+        corpus_path=str(tmp_path / "corpus"), transforms=transforms,
+        lineage=lineage,
+    )
+
+    for e, ids in enumerate(epochs):
+        ingest.process(_docs_df(spark, [(i, docs[i]) for i in ids]), e)
+        if e == 3:
+            # mid-run GC on every table, retention covering the stream's
+            # re-delivery horizon (the documented caveat)
+            for t in (ingest.index.table, ingest.matches, ingest.corpus):
+                t.expire_snapshots(keep_last=30)
+        if e == 5:
+            # re-deliver the epoch just processed: all four arms fenced
+            st, mst = ingest.process(
+                _docs_df(spark, [(i, docs[i]) for i in epochs[5]]), 5
+            )
+            dst, ast = ingest.corpus_stats[-1]
+            assert st.skipped and mst.skipped and dst.skipped and ast.skipped
+
+    # one-shot oracle over the TRANSFORMED corpus: redact everything,
+    # drop the contaminated doc, then decide in a single pass
+    transformed = [
+        (i, r["text"])
+        for i, r in zip(
+            sorted(d for d in docs if d != 50),
+            _docs_df(spark, sorted((i, t) for i, t in docs.items() if i != 50))
+            .withColumn("text", redact_pii(F.col("text")))
+            .orderBy("doc_id")
+            .select("text")
+            .collect(),
+        )
+    ]
+    expected = _one_shot_survivors(spark, transformed)
+    assert expected == {10, 20, 30, 40, 41, 42}  # the fixture's designed outcome
+
+    live = {r.doc_id: r.text for r in ingest.read_corpus().collect()}
+    assert set(live) == expected
+    # hygiene really landed: no raw PII anywhere in the live corpus,
+    # placeholders present on the PII survivor, benchmark text absent
+    assert all("@example" not in t and "555-" not in t for t in live.values())
+    assert "[EMAIL]" in live[30] and "[PHONE]" in live[30]
+    assert all(BENCH != t for t in live.values())
+    # losers are tombstones (11 ingested docs, 6 survive), dropped doc
+    # 50 never reached the corpus at all
+    sys_rows = ingest.corpus.read(system=True)
+    assert sys_rows.filter("_deleted").count() == 11 - len(expected)
+    assert sys_rows.filter("doc_id = 50").count() == 0
+    # transform counters flowed to lineage under <qid>-transforms: the
+    # table is keyed by (query_id, epoch_id), so the re-delivered epoch
+    # MERGEs over its original row (8 distinct epochs, not 9 appends) —
+    # while the in-memory stats list saw all 9 applications
+    assert len(transforms.stats) == 9
+    lineage.flush()
+    lrows = lineage.table.read().filter(
+        F.col("query_id") == f"{ingest.query_id}-transforms"
+    ).collect()
+    assert len(lrows) == 8
+    assert sum(r.upserts for r in lrows) >= 4  # 2 PII docs x (email+phone)
+    assert sum(r.deletes for r in lrows) == 1
