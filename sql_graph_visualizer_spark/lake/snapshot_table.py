@@ -107,6 +107,62 @@ def _refs_total_bytes(segments: dict[str, dict[str, Any]]) -> int:
     return sum(int(s.get("bytes", 0)) for s in segments.values())
 
 
+def _murmur3_hash_long(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3_x86_32.hashLong`` (the hash behind
+    ``HashPartitioning`` of a single bigint column), in pure Python —
+    verified against ``F.hash`` in ``tests/test_lake.py``. Used to
+    pre-compute a collision-free bucket→shuffle-partition assignment on
+    the driver (guide §2.5: hashing n distinct bucket ids into n
+    partitions leaves ~1/e of them empty and stacks 3-4 buckets on the
+    unlucky ones — the write stage then runs at the pace of the worst
+    task)."""
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    h1 = mix_h1(seed & 0xFFFFFFFF, mix_k1(v & 0xFFFFFFFF))
+    h1 = mix_h1(h1, mix_k1((v >> 32) & 0xFFFFFFFF))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1
+
+
+_PART_TOKEN_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_tokens(n: int) -> list[int]:
+    """``tokens[b]`` = a bigint whose Murmur3 hash lands in shuffle
+    partition ``b`` of an ``n``-partition HashPartitioning — so
+    ``repartition(n, token_col)`` places each bucket in its own
+    partition, one balanced write task per bucket, zero empty tasks.
+    Coupon-collector search: ~n·ln(n) hash probes, cached per n."""
+    tokens = _PART_TOKEN_CACHE.get(n)
+    if tokens is not None:
+        return tokens
+    found: dict[int, int] = {}
+    t = 0
+    while len(found) < n:
+        h = _murmur3_hash_long(t)
+        p = ((h % n) + n) % n
+        if p not in found:
+            found[p] = t
+        t += 1
+    tokens = [found[b] for b in range(n)]
+    _PART_TOKEN_CACHE[n] = tokens
+    return tokens
+
+
 def _contains_map(dt: T.DataType) -> bool:
     """True if the type tree contains a MapType anywhere. Spark's
     set-operation (``distinct``) type check is recursive — a map nested
@@ -835,13 +891,30 @@ class SnapshotTable:
         token = uuid.uuid4().hex[:12]
         commit_rel = os.path.join(_DATA_DIR, f"commit-{token}")
         commit_abs = os.path.join(self.path, commit_rel)
-        (
-            df.withColumn("__b", self._bucket_expr(m))
-            .repartition(F.col("__b"))
-            .write.partitionBy("__b")
-            .mode("overwrite")
-            .parquet(commit_abs)
-        )
+        # bucket-id domain under this manifest's routing (a progressive
+        # migration labels rewritten buckets under the NEW modulus)
+        mig = m.get("migration")
+        n = int(mig["new_num_buckets"]) if mig else int(m["num_buckets"])
+        staged = df.withColumn("__b", self._bucket_expr(m))
+        if n <= 65536:
+            # r8 (guide §2.5): hash-repartitioning n distinct bucket ids
+            # into n partitions is the classic too-few-distinct-keys
+            # skew — ~1/e of the write tasks get nothing while others
+            # write 3-4 buckets serially. Route through a pre-computed
+            # token whose Murmur3 hash lands each bucket in its own
+            # partition: every bucket gets exactly one balanced write
+            # task (and exactly one output file per epoch, as before).
+            toks = _partition_tokens(n)
+            tok_col = F.element_at(
+                F.array(*[F.lit(t).cast("long") for t in toks]),
+                F.col("__b").cast("int") + 1,
+            )
+            staged = staged.withColumn("__p", tok_col).repartition(
+                n, F.col("__p")
+            ).drop("__p")
+        else:  # token table impractical; accept hash collisions
+            staged = staged.repartition(F.col("__b"))
+        staged.write.partitionBy("__b").mode("overwrite").parquet(commit_abs)
         out: dict[str, list[dict[str, Any]]] = {}
         for d in self.io.listdir(commit_abs):
             if not d.startswith("__b="):

@@ -17,18 +17,18 @@ last writer wins (``graph_aggregate.go:46-59``). With declarative rules,
 "last" is rule priority then source order; we reproduce it with max_by
 over (priority, rule_seq) — but in practice rules target disjoint types.
 
-A grouped-map Arrow UDF variant (``build_edges_arrow``) exists for
-shapes where per-group assembly is genuinely easier; it is semantically
-identical to the join path (tests assert equality) and exists because
-the north_star names vectorized Arrow UDF graph materialization as the
-reference's signature feature.
+A vectorized Arrow UDF variant (``build_conv_edges_arrow``) exists
+because the north_star names Arrow UDF graph materialization as the
+reference's signature feature; it is semantically identical to the join
+path (tests assert equality). Since r8 it is a narrow ``mapInArrow``
+(the per-row edge mapping needs no group context, so the old
+``groupBy(conv_id)`` Exchange was pure overhead — guide §2.4).
 """
 
 from __future__ import annotations
 
 from typing import Iterable
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -141,13 +141,22 @@ def build_edges(
 
 
 def build_conv_edges_arrow(transcripts: DataFrame) -> DataFrame:
-    """Per-conversation edge assembly as a grouped-map Arrow UDF.
+    """Conversation edge assembly as a vectorized Arrow UDF.
 
-    The signature row→graph mapping (north_star): for each conversation
-    group, emit conv→turn HAS_TURN edges and turn→tool USES_TOOL edges.
-    Arrow-vectorized (one pandas DataFrame per conv group), zero per-row
-    Python. Semantically identical to the join path — tests assert it.
+    The signature row→graph mapping (north_star): emit conv→turn
+    HAS_TURN edges and turn→tool USES_TOOL edges. Each input row maps to
+    its edges independently, so this is a narrow ``mapInArrow`` over the
+    three pruned columns — no shuffle at all (r8: previously a
+    ``groupBy(conv_id).applyInPandas``, which paid one Exchange plus
+    per-group pandas-frame assembly for a mapping that never needed
+    group context; guide §2.4 "remove shuffles outright"). Inside the
+    UDF everything is ``pyarrow.compute`` over whole record batches —
+    zero per-row Python. Semantically identical to the join path and to
+    the old grouped form — tests assert it.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     out_schema = T.StructType(
         [
             T.StructField("src", T.StringType()),
@@ -156,29 +165,51 @@ def build_conv_edges_arrow(transcripts: DataFrame) -> DataFrame:
             T.StructField("turn_idx", T.IntegerType()),
         ]
     )
+    arrow_schema = pa.schema(
+        [
+            pa.field("src", pa.string()),
+            pa.field("dst", pa.string()),
+            pa.field("rel_type", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+        ]
+    )
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
-        turn_ids = "Turn:" + conv + ":" + pdf["turn_idx"].astype(str)
-        has_turn = pd.DataFrame(
-            {
-                "src": "Conversation:" + conv,
-                "dst": turn_ids,
-                "rel_type": "HAS_TURN",
-                "turn_idx": pdf["turn_idx"].astype("int32"),
-            }
-        )
-        tools = pdf[pdf["tool"].notna()]
-        uses_tool = pd.DataFrame(
-            {
-                "src": "Turn:" + conv + ":" + tools["turn_idx"].astype(str),
-                "dst": "Tool:" + tools["tool"],
-                "rel_type": "USES_TOOL",
-                "turn_idx": tools["turn_idx"].astype("int32"),
-            }
-        )
-        return pd.concat([has_turn, uses_tool], ignore_index=True)
+    def assemble(batches):
+        sep = pa.scalar("")
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            conv = b.column(b.schema.get_field_index("conv_id"))
+            turn = pc.cast(b.column(b.schema.get_field_index("turn_idx")), pa.int32())
+            tool = b.column(b.schema.get_field_index("tool"))
+            turn_s = pc.cast(turn, pa.string())
+            turn_ids = pc.binary_join_element_wise(
+                pa.scalar("Turn:"), conv, pa.scalar(":"), turn_s, sep
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.binary_join_element_wise(pa.scalar("Conversation:"), conv, sep),
+                    turn_ids,
+                    pc.fill_null(pa.nulls(b.num_rows, pa.string()), "HAS_TURN"),
+                    turn,
+                ],
+                schema=arrow_schema,
+            )
+            mask = pc.is_valid(tool)
+            if pc.any(mask).as_py():
+                t_ids = pc.filter(turn_ids, mask)
+                t_turn = pc.filter(turn, mask)
+                t_tool = pc.filter(tool, mask)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        t_ids,
+                        pc.binary_join_element_wise(pa.scalar("Tool:"), t_tool, sep),
+                        pc.fill_null(pa.nulls(len(t_ids), pa.string()), "USES_TOOL"),
+                        t_turn,
+                    ],
+                    schema=arrow_schema,
+                )
 
-    return transcripts.select("conv_id", "turn_idx", "tool").groupBy("conv_id").applyInPandas(
+    return transcripts.select("conv_id", "turn_idx", "tool").mapInArrow(
         assemble, out_schema
     )

@@ -56,6 +56,21 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # the engine's caches are short-lived scratch (a replay's source
+        # log, signature frames) on fast local dirs: columnar cache
+        # compression costs ~2x on build for bytes nobody keeps
+        # (measured: 8M-event log cache build 6.9s compressed vs 4.8s
+        # raw; DISK_ONLY 5.3 vs 3.4). Flip per-session for long-lived
+        # memory-resident caches on storage-tight clusters.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # single-box topologies (local[N] and the bench's local-cluster)
+        # have no remote reads worth waiting for, but cached/disk blocks
+        # pin task preferences to executors — with two jobs sharing the
+        # executors (the replay pipelines epoch N+1's prepare under
+        # epoch N's write) the default 3s locality wait serializes them
+        # in multi-second stalls. On a real multi-node cluster set this
+        # per-job via spark-submit conf.
+        .config("spark.locality.wait", os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0"))
         # deterministic float/timestamp behaviour for the oracle compare
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")

@@ -299,6 +299,10 @@ class DedupIngest:
                 validate_ids=False,
             )
             self.corpus_stats.append((dst, ast))
+        if self.transforms is not None:
+            # the transform stage persisted the transformed frame (one
+            # materialization per epoch); every consumer above has run
+            batch.unpersist()
         return st, mst
 
     def read(self) -> DataFrame:

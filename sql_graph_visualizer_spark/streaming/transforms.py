@@ -71,31 +71,48 @@ class IngestTransforms:
         self.stats: list[MergeStats] = []
 
     def apply(self, batch: DataFrame, epoch_id: int) -> DataFrame:
-        """Transform one micro-batch; counters land in ``self.stats``."""
+        """Transform one micro-batch; counters land in ``self.stats``.
+
+        Cost discipline (r8, VERDICT r7 #2 / guide §5): the incoming
+        batch is persisted for the duration of this call, the row and
+        PII counters collapse into ONE aggregate job, and the returned
+        frame is itself persisted+materialized — so the downstream
+        consumers (winner aggregation, survivor filter, signature
+        builders) read the transformed rows from cache instead of each
+        re-running the redaction rewrite and the decontam anti-join.
+        Previously: three driver actions per epoch and a transform chain
+        recomputed by every consumer (~3-4× the transform cost at
+        scale). The caller owns the returned frame's unpersist after the
+        sink commits (``replay_stream`` does); the input persist is
+        released here."""
         t0 = time.monotonic()
-        rows_in = batch.count()
-        n_redacted = 0
-        if self.redact_cols and rows_in:
-            # ONE map-side aggregate counts every match before the text
-            # is rewritten (counts are an audit signal on the RAW input)
+        batch = batch.persist()
+        counters = [F.count(F.lit(1)).alias("__rows")]
+        if self.redact_cols:
+            # the same aggregate counts every match before the text is
+            # rewritten (counts are an audit signal on the RAW input);
             # null text must count 0, not poison the row's sum
             per_col = [
                 sum(F.coalesce(cnt, F.lit(0)) for cnt in pii_counts(F.col(c)))
                 for c in self.redact_cols
             ]
             total = sum(per_col[1:], per_col[0]) if len(per_col) > 1 else per_col[0]
-            n_redacted = int(
-                batch.agg(F.sum(total).alias("n")).collect()[0]["n"] or 0
-            )
-            batch = batch.withColumns(
+            counters.append(F.sum(total).alias("__pii"))
+        agg = batch.agg(*counters).collect()[0]
+        rows_in = int(agg["__rows"])
+        n_redacted = int(agg["__pii"] or 0) if self.redact_cols and rows_in else 0
+        if self.redact_cols and rows_in:
+            out = batch.withColumns(
                 {c: redact_pii(F.col(c)) for c in self.redact_cols}
             )
+        else:
+            out = batch
         n_dropped = 0
         if self.benchmark is not None and rows_in:
             # per-row contamination needs a row key: a composite key is
             # hashed into one synthetic id (unique within the batch is
             # all the per-row distinct requires)
-            keyed = batch.withColumn("__tid", F.xxhash64(*self.id_cols))
+            keyed = out.withColumn("__tid", F.xxhash64(*self.id_cols))
             scored = ngram_contamination(
                 keyed,
                 self.benchmark,
@@ -106,8 +123,17 @@ class IngestTransforms:
             ).filter(F.col("contamination") >= self.decontam_threshold)
             bad = scored.select(F.col("doc_id").alias("__tid"))
             kept = keyed.join(F.broadcast(bad), "__tid", "left_anti").drop("__tid")
+            kept = kept.persist()
+            # this count both materializes the cache and yields the
+            # dropped-row counter — no separate action
             n_dropped = rows_in - kept.count()
-            batch = kept
+            out = kept
+        elif out is not batch:
+            out = out.persist()
+            out.count()
+        if out is not batch:
+            # the returned frame carries its own cache now
+            batch.unpersist()
         self.stats.append(
             MergeStats(
                 epoch_id=int(epoch_id),
@@ -120,7 +146,7 @@ class IngestTransforms:
                 snapshot_version=-1,
             )
         )
-        return batch
+        return out
 
     def record(self, lineage: LineageRecorder | None, query_id: str) -> None:
         """Flush accumulated counters to the lineage table under

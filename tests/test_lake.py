@@ -523,3 +523,47 @@ def test_commit_metadata_io_bounded_by_touched_buckets(spark, tmp_path):
     manifests = [p for p in io.created if f"{os.sep}snapshots{os.sep}" in p]
     assert len(segs) == 1  # exactly the touched bucket's segment
     assert len(manifests) == 1
+
+
+def test_murmur3_long_matches_spark_hash_partitioning(spark):
+    """The driver-side Murmur3 used to pre-compute the collision-free
+    bucket->write-partition tokens (r8 write-balance optimization) must
+    equal Spark's own hash of a bigint column, or rows would land in a
+    different partition than planned."""
+    from sql_graph_visualizer_spark.lake.snapshot_table import (
+        _murmur3_hash_long,
+        _partition_tokens,
+    )
+
+    vals = [0, 1, 7, 42, -1, -42, 2**31, -(2**31), 2**62, 123456789012345]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select(F.hash("v").alias("h"), "v")
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_hash_long(int(r["v"])) == int(r["h"]), r["v"]
+    # tokens form a bijection: token b lands in shuffle partition b
+    for n in (4, 16, 64):
+        toks = _partition_tokens(n)
+        assert len(toks) == n
+        parts = {((_murmur3_hash_long(t) % n) + n) % n for t in toks}
+        assert parts == set(range(n))
+
+
+def test_write_data_one_balanced_file_per_bucket(spark, tmp_path):
+    """The balanced write routing keeps the contract of one output file
+    per touched bucket per commit (file counts feed the manifest and the
+    read path's open cost)."""
+    t = SnapshotTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, KEYS, num_buckets=16
+    )
+    log = gen_cdc_log(spark, 4000, num_convs=80, turns_per_conv=8)
+    t.merge_upsert(log, epoch_id=0, query_id="q")
+    m = t.manifest()
+    for b, ref in m["segments"].items():
+        entries = t._load_segment(ref["path"])
+        assert len(entries) == 1, (b, entries)
+    # and the merged state is still the batch-oracle state
+    got = t.read().count()
+    assert got == final_state(log).count()
