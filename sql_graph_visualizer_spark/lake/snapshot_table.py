@@ -885,35 +885,62 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- writes
 
-    def _write_data(self, df: DataFrame, m: dict[str, Any]) -> dict[str, list[dict[str, Any]]]:
-        """Write rows bucket-partitioned under a fresh commit dir; returns
-        bucket -> new file entries."""
-        token = uuid.uuid4().hex[:12]
-        commit_rel = os.path.join(_DATA_DIR, f"commit-{token}")
-        commit_abs = os.path.join(self.path, commit_rel)
+    def _route_for_write(
+        self, df: DataFrame, m: dict[str, Any]
+    ) -> tuple[DataFrame, tuple[str, ...]]:
+        """Attach the bucket id and repartition rows into balanced
+        per-bucket write partitions; returns ``(routed_df, route_cols)``.
+
+        r8 (guide §2.5): hash-repartitioning n distinct bucket ids into
+        n partitions is the classic too-few-distinct-keys skew — ~1/e of
+        the write tasks get nothing while others write 3-4 buckets
+        serially. Instead route through a pre-computed token whose
+        Murmur3 hash lands each bucket in its OWN partition: every
+        bucket gets exactly one balanced write task (and exactly one
+        output file per commit, as before).
+
+        ``route_cols`` lets a caller fold a keyed aggregation into the
+        same exchange (guide §2.4): the routing column is a pure
+        function of the bucket column, so grouping by
+        ``(*route_cols, *key_cols)`` is satisfied by this partitioning
+        and Catalyst inserts no second exchange — see the MERGE's
+        compact-and-write."""
         # bucket-id domain under this manifest's routing (a progressive
         # migration labels rewritten buckets under the NEW modulus)
         mig = m.get("migration")
         n = int(mig["new_num_buckets"]) if mig else int(m["num_buckets"])
-        staged = df.withColumn("__b", self._bucket_expr(m))
+        routed = df.withColumn("__b", self._bucket_expr(m))
         if n <= 65536:
-            # r8 (guide §2.5): hash-repartitioning n distinct bucket ids
-            # into n partitions is the classic too-few-distinct-keys
-            # skew — ~1/e of the write tasks get nothing while others
-            # write 3-4 buckets serially. Route through a pre-computed
-            # token whose Murmur3 hash lands each bucket in its own
-            # partition: every bucket gets exactly one balanced write
-            # task (and exactly one output file per epoch, as before).
             toks = _partition_tokens(n)
             tok_col = F.element_at(
                 F.array(*[F.lit(t).cast("long") for t in toks]),
                 F.col("__b").cast("int") + 1,
             )
-            staged = staged.withColumn("__p", tok_col).repartition(
-                n, F.col("__p")
-            ).drop("__p")
-        else:  # token table impractical; accept hash collisions
-            staged = staged.repartition(F.col("__b"))
+            return (
+                routed.withColumn("__p", tok_col).repartition(n, F.col("__p")),
+                ("__p", "__b"),
+            )
+        # token table impractical; accept hash collisions
+        return routed.repartition(F.col("__b")), ("__b",)
+
+    def _write_data(
+        self, df: DataFrame, m: dict[str, Any], pre_routed: bool = False
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Write rows bucket-partitioned under a fresh commit dir; returns
+        bucket -> new file entries. ``pre_routed``: ``df`` already went
+        through ``_route_for_write`` (carries ``__b``, partitioned per
+        bucket; a leftover ``__p`` must be dropped by the caller)."""
+        token = uuid.uuid4().hex[:12]
+        commit_rel = os.path.join(_DATA_DIR, f"commit-{token}")
+        commit_abs = os.path.join(self.path, commit_rel)
+        if pre_routed:
+            # caller already routed rows to balanced per-bucket
+            # partitions (see _route_for_write) — adding a repartition
+            # here would pay the exchange this path exists to avoid
+            staged = df
+        else:
+            staged, _ = self._route_for_write(df, m)
+            staged = staged.drop("__p")
         staged.write.partitionBy("__b").mode("overwrite").parquet(commit_abs)
         out: dict[str, list[dict[str, Any]]] = {}
         for d in self.io.listdir(commit_abs):
@@ -1195,6 +1222,30 @@ class SnapshotTable:
             affected_set = set(affected)
             batch_events = survivors.select(*payload, F.col(order_col), F.col(op_col))
 
+            def compact_route(staged_events: DataFrame) -> DataFrame:
+                # ONE exchange for compact+write (r8, guide §2.4): route
+                # rows to their bucket's write partition FIRST, then run
+                # the per-key LWW fold with the routing columns added to
+                # the grouping keys — they are pure functions of the
+                # bucket column, so the groups are unchanged and the
+                # aggregate's clustering requirement is satisfied by the
+                # routing partitioning (no second exchange; previously
+                # the fold shuffled by key and the write re-shuffled by
+                # bucket, moving the staged payload twice).
+                routed, route_cols = self._route_for_write(staged_events, m)
+                folded = compact_lww(
+                    routed,
+                    (*route_cols, *key_cols),
+                    order_col,
+                    broadcast_winner_seqs="sort",
+                )
+                return folded.select(
+                    *payload,
+                    F.col(order_col).cast("long").alias(_SEQ),
+                    (F.col(op_col) == "delete").alias(_DELETED),
+                    "__b",
+                )
+
             if mode == "mor":
                 # Merge-on-read: never read the base. The survivors are the
                 # batch's per-key winners (plus possible duplicate
@@ -1202,15 +1253,7 @@ class SnapshotTable:
                 # sort compact over ∝|keys| rows); they are written as
                 # delta segments, deletes persisting as tombstone rows.
                 # Bytes written ∝ |batch|, not touched-bucket bytes.
-                final = compact_lww(
-                    batch_events, tuple(key_cols), order_col, broadcast_winner_seqs="sort"
-                )
-                result = final.select(
-                    *payload,
-                    F.col(order_col).cast("long").alias(_SEQ),
-                    (F.col(op_col) == "delete").alias(_DELETED),
-                )
-                new_files = self._write_data(result, m)
+                new_files = self._write_data(compact_route(batch_events), m, pre_routed=True)
                 new_segs = {b: self._write_segment(fs) for b, fs in new_files.items()}
                 bytes_written = sum(int(r["bytes"]) for r in new_segs.values())
 
@@ -1287,15 +1330,9 @@ class SnapshotTable:
                 # staged rows ∝ |keys| → the sort-based single-shuffle compact
                 # is cheapest here (one job, no broadcast round-trip), and the
                 # whole union→compact→bucket-write pipeline runs as one job
+                # sharing ONE exchange (see compact_route)
                 staged = existing_events.unionByName(batch_events)
-                final = compact_lww(staged, tuple(key_cols), order_col, broadcast_winner_seqs="sort")
-                result = final.select(
-                    *payload,
-                    F.col(order_col).cast("long").alias(_SEQ),
-                    (F.col(op_col) == "delete").alias(_DELETED),
-                )
-
-                new_files = self._write_data(result, m)
+                new_files = self._write_data(compact_route(staged), m, pre_routed=True)
                 # segment files for the touched buckets are written ONCE, up
                 # front; a rebase-retry re-points the same immutable segments
                 # (validate() guarantees the base buckets didn't change).
