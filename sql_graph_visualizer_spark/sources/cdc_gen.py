@@ -145,8 +145,21 @@ def write_cdc_log_dir(
 
 def read_cdc_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     if fmt == "json":
-        return spark.read.schema(CDC_JSON_SCHEMA).json(path)
-    return spark.read.parquet(path)
+        df = spark.read.schema(CDC_JSON_SCHEMA).json(path)
+    else:
+        df = spark.read.parquet(path)
+    # Tag the frame with its file source (r8, guide §6 file skipping):
+    # a bounded replay splits the log into contiguous seq ranges, but a
+    # gzip-JSON scan has no native min/max file skipping — every epoch
+    # would decompress+parse EVERY file. replay_batch uses this tag to
+    # probe per-file seq ranges once and then read, per epoch, only the
+    # files that can contain the epoch's range. Parquet needs no such
+    # help (the seq predicate pushes to row-group stats natively).
+    # The tag is advisory metadata on this DataFrame object only — it
+    # does not survive transformations, and derived/transformed logs
+    # simply take the full-scan path as before.
+    df._sgv_file_source = {"path": path, "fmt": fmt}
+    return df
 
 
 def read_cdc_stream(

@@ -489,3 +489,50 @@ def test_ingest_transforms_redact_decontam_with_lineage_counts(spark, tmp_path):
     assert sum(r.upserts for r in rows) == n_pii_exp
     assert sum(r.deletes for r in rows) == n_dropped_exp
     assert sum(r.rows_in for r in rows) == log.count()
+
+
+def test_json_file_skipping_replay_matches_oracle(spark, tmp_path):
+    """r8 file skipping (guide §6): a bounded replay over a tagged
+    gzip-JSON log reads, per epoch, only the files whose seq range
+    intersects the epoch's — results must equal the full-log oracle,
+    including file boundaries that straddle epoch boundaries (5 files /
+    4 epochs) and epochs whose range matches no file at all (bounds
+    wider than the data)."""
+    from sql_graph_visualizer_spark.sources.cdc_gen import read_cdc_log
+
+    log = gen_cdc_log(spark, 4000, num_convs=20, turns_per_conv=10)
+    log_dir = str(tmp_path / "jl")
+    write_cdc_log_dir(log, log_dir, num_files=5, fmt="json")
+    jlog = read_cdc_log(spark, log_dir, fmt="json")
+    assert getattr(jlog, "_sgv_file_source", None) is not None
+
+    # persist_log=False forces the big-log regime where file skipping engages
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=8)
+    stats = replay_batch(jlog, t, epochs=4, persist_log=False)
+    assert len(stats) == 4 and not any(s.skipped for s in stats)
+    assert _state(t) == _expected(log)
+
+    # the probe ran once and is memoized on the DataFrame object
+    ranges = getattr(jlog, "_sgv_file_ranges", None)
+    assert isinstance(ranges, list) and len(ranges) == 5
+    # LSN-ordered writer → per-file ranges are disjoint and contiguous
+    spans = sorted((mn, mx) for _, mn, mx in ranges)
+    assert spans[0][0] == 0 and spans[-1][1] == 3999
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+    # bounds wider than the data → some epochs intersect no file (empty
+    # chunk path) — state still converges to the same oracle
+    t2 = SnapshotTable.create(spark, str(tmp_path / "t2"), SCHEMA, KEYS, num_buckets=8)
+    stats2 = replay_batch(
+        jlog, t2, epochs=6, bounds=(0, 11999), persist_log=False, query_id="wide"
+    )
+    assert len(stats2) == 6
+    assert _state(t2) == _expected(log)
+
+    # small-log default path (persist cache) is unaffected and identical;
+    # with bounds given it never needs the file probe at all
+    jlog2 = read_cdc_log(spark, log_dir, fmt="json")
+    t3 = SnapshotTable.create(spark, str(tmp_path / "t3"), SCHEMA, KEYS, num_buckets=8)
+    replay_batch(jlog2, t3, epochs=4, bounds=(0, 3999), query_id="cached")
+    assert _state(t3) == _expected(log)
+    assert getattr(jlog2, "_sgv_file_ranges", None) is None  # never probed
