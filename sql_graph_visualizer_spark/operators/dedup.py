@@ -267,13 +267,13 @@ def banded_signatures(
     return banded, ["band", "bucket"]
 
 
-def est_jaccard_col(num_hashes: int) -> F.Column:
-    """Estimated Jaccard from two signature columns ``sig_a``/``sig_b``:
-    matching slots / k. HOF (interpreted) — applied to CANDIDATES only,
-    never the corpus."""
+def est_jaccard_col(num_hashes: int, a: str = "sig_a", b: str = "sig_b") -> F.Column:
+    """Estimated Jaccard from two signature columns (default
+    ``sig_a``/``sig_b``): matching slots / k. HOF (interpreted) —
+    applied to CANDIDATES only, never the corpus."""
     matches = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda m: m == 1
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")), lambda m: m == 1
         )
     )
     return matches / F.lit(num_hashes)
@@ -391,22 +391,31 @@ def minhash_lsh_pairs(
         cand = _capped_bucket_pairs(
             banded, join_keys, sig, "sig", "a_id", "b_id", bucket_cap
         ).withColumnsRenamed({"__sa": "sig_a", "__sb": "sig_b"})
-    else:
-        a, b = banded.alias("a"), banded.alias("b")
-        cand = (
-            a.join(b, on=join_keys)
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("a_id"),
-                F.col("b.id").alias("b_id"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("b.sig").alias("sig_b"),
-            )
-            .dropDuplicates(["a_id", "b_id"])
+        return (
+            cand.withColumn("est_jaccard", est_jaccard_col(num_hashes))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("est_jaccard", 6).alias("est_jaccard"))
         )
+    # Verify BEFORE deduping band collisions (r8, guide §2.3): a pair
+    # colliding in several bands has the same signatures each time, so
+    # its estimate is identical — computing it inline and deduping
+    # (a_id, b_id, est) shuffles ~24 bytes per candidate instead of two
+    # k-long signature arrays, the threshold filter drops non-pairs
+    # before the exchange, and the fixed-width first(est) buffer keeps
+    # the dedupe a HashAggregate (carrying the arrays through
+    # dropDuplicates compiled to a SortAggregate pair).
+    a, b = banded.alias("a"), banded.alias("b")
+    est = est_jaccard_col(num_hashes, "a.sig", "b.sig")
     return (
-        cand.withColumn("est_jaccard", est_jaccard_col(num_hashes))
+        a.join(b, on=join_keys)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
 
@@ -488,22 +497,27 @@ def simhash_near_pairs(
         cand = _capped_bucket_pairs(
             chunks, ["chunk", "val"], sigs, "simhash", "a_id", "b_id", bucket_cap
         ).withColumnsRenamed({"__sa": "sa", "__sb": "sb"})
-    else:
-        a, b = chunks.alias("a"), chunks.alias("b")
-        cand = (
-            a.join(b, on=["chunk", "val"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("a_id"),
-                F.col("b.id").alias("b_id"),
-                F.col("a.simhash").alias("sa"),
-                F.col("b.simhash").alias("sb"),
-            )
-            .dropDuplicates(["a_id", "b_id"])
+        return (
+            cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming")
         )
+    # verify before dedupe (r8, guide §2.3 — see minhash_lsh_pairs): a
+    # pair colliding in several chunks gets the same Hamming distance
+    # each time, so the distance filter runs inline and the chunk-
+    # collision dedupe aggregates (a_id, b_id, hamming) — fewer, narrower
+    # rows through the exchange, nothing changed in the output
+    a, b = chunks.alias("a"), chunks.alias("b")
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 

@@ -157,7 +157,12 @@ class MinHashIndex:
             batch_sigs, self.num_hashes, self.bands, portable=self.portable
         )
         cb, _ = banded_signatures(corpus, self.num_hashes, self.bands, portable=self.portable)
-        cand = (
+        # estimate before deduping band collisions (r8, guide §2.3 — see
+        # minhash_lsh_pairs): identical estimate per collision, so the
+        # dedupe aggregates (new_id, match_id, est) fixed-width rows
+        # instead of carrying two k-long signature arrays
+        est = est_jaccard_col(self.num_hashes, "n.sig", "c.sig")
+        return (
             cb.alias("c")
             .join(F.broadcast(bb.alias("n")), on=join_keys)
             # a re-delivered (already-indexed) doc must not match itself
@@ -165,13 +170,10 @@ class MinHashIndex:
             .select(
                 F.col("n.id").alias("new_id"),
                 F.col("c.id").alias("match_id"),
-                F.col("n.sig").alias("sig_a"),
-                F.col("c.sig").alias("sig_b"),
+                est.alias("est_jaccard"),
             )
             .dropDuplicates(["new_id", "match_id"])
-        )
-        return cand.withColumn("est_jaccard", est_jaccard_col(self.num_hashes)).select(
-            "new_id", "match_id", F.round("est_jaccard", 6).alias("est_jaccard")
+            .select("new_id", "match_id", F.round("est_jaccard", 6).alias("est_jaccard"))
         )
 
     def probe(

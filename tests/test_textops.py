@@ -486,3 +486,18 @@ def test_redact_pii_patterns_and_order(spark):
     assert got[1] == ("server [IP] and 256.1.1.1 and [IP].", 0, 2, 0)
     assert got[2] == ("call [PHONE] or [PHONE] end", 0, 0, 2)
     assert got[3] == ("no pii here 1.2 only", 0, 0, 0)
+
+
+def test_lsh_pair_dedupe_plan_stays_hash_aggregated(spark):
+    """r8 plan contract: candidate verification runs BEFORE the
+    band-collision dedupe, so the dedupe aggregates fixed-width
+    (a_id, b_id, metric) rows — no SortAggregate, no signature arrays
+    through the exchange — for both the MinHash and SimHash families."""
+    docs = _docs(spark).limit(100)
+    for pairs in (
+        minhash_lsh_pairs(docs, threshold=0.5),
+        simhash_near_pairs(docs, max_hamming=10),
+    ):
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan
+        assert "HashAggregate" in plan
