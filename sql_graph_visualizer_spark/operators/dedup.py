@@ -287,6 +287,7 @@ def _capped_bucket_pairs(
     out_a: str,
     out_b: str,
     bucket_cap: int,
+    metric,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets with a per-bucket explosion guard.
 
@@ -297,6 +298,14 @@ def _capped_bucket_pairs(
     n-1 pairs — bounding work at O(Σ min(n_bucket, cap)·n_bucket).
     Verification (est-similarity / Hamming filter) still runs on every
     emitted pair.
+
+    ``metric(col_a, col_b) -> Column`` computes the caller's
+    verification metric from two signature columns; it is evaluated
+    INLINE, before the pair dedupe (r8, guide §2.3) — a pair emitted by
+    several buckets has identical signatures each time, so deduping
+    ``(out_a, out_b, __metric)`` is exact while shuffling fixed-width
+    rows instead of signature payloads (and keeps the dedupe a
+    HashAggregate). Output columns: ``out_a, out_b, __metric``.
 
     The cap is a RECALL-LOSING approximation, not an exact rewrite: an
     LSH bucket only certifies agreement on ONE band/bit-chunk, so two
@@ -321,8 +330,7 @@ def _capped_bucket_pairs(
         .select(
             F.col("a.id").alias(out_a),
             F.col("b.id").alias(out_b),
-            F.col(f"a.{sig_col}").alias("__sa"),
-            F.col(f"b.{sig_col}").alias("__sb"),
+            metric(F.col(f"a.{sig_col}"), F.col(f"b.{sig_col}")).alias("__metric"),
         )
     )
     reps = big.groupBy(*join_keys).agg(F.min("id").alias("__rep"))
@@ -336,8 +344,7 @@ def _capped_bucket_pairs(
         .select(
             F.col("__rep").alias(out_a),
             F.col("id").alias(out_b),
-            F.col("__sa"),
-            F.col(sig_col).alias("__sb"),
+            metric(F.col("__sa"), F.col(sig_col)).alias("__metric"),
         )
     )
     return pairs_small.unionByName(pairs_big).dropDuplicates([out_a, out_b])
@@ -389,12 +396,12 @@ def minhash_lsh_pairs(
     banded, join_keys = banded_signatures(sig, num_hashes, bands, portable=portable)
     if bucket_cap is not None:
         cand = _capped_bucket_pairs(
-            banded, join_keys, sig, "sig", "a_id", "b_id", bucket_cap
-        ).withColumnsRenamed({"__sa": "sig_a", "__sb": "sig_b"})
+            banded, join_keys, sig, "sig", "a_id", "b_id", bucket_cap,
+            metric=lambda x, y: est_jaccard_col(num_hashes, x, y),
+        )
         return (
-            cand.withColumn("est_jaccard", est_jaccard_col(num_hashes))
-            .filter(F.col("est_jaccard") >= threshold)
-            .select("a_id", "b_id", F.round("est_jaccard", 6).alias("est_jaccard"))
+            cand.filter(F.col("__metric") >= threshold)
+            .select("a_id", "b_id", F.round("__metric", 6).alias("est_jaccard"))
         )
     # Verify BEFORE deduping band collisions (r8, guide §2.3): a pair
     # colliding in several bands has the same signatures each time, so
@@ -495,12 +502,12 @@ def simhash_near_pairs(
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
     if bucket_cap is not None:
         cand = _capped_bucket_pairs(
-            chunks, ["chunk", "val"], sigs, "simhash", "a_id", "b_id", bucket_cap
-        ).withColumnsRenamed({"__sa": "sa", "__sb": "sb"})
+            chunks, ["chunk", "val"], sigs, "simhash", "a_id", "b_id", bucket_cap,
+            metric=lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        )
         return (
-            cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("a_id", "b_id", "hamming")
+            cand.filter(F.col("__metric") <= max_hamming)
+            .select("a_id", "b_id", F.col("__metric").alias("hamming"))
         )
     # verify before dedupe (r8, guide §2.3 — see minhash_lsh_pairs): a
     # pair colliding in several chunks gets the same Hamming distance

@@ -195,10 +195,16 @@ def lsh_topk(
         .dropDuplicates([query_id_col, "t", "bk"])
     )
 
+    # score BEFORE deduping multi-table collisions (r8, guide §2.3): a
+    # pair colliding in several tables/probes has the same two vectors
+    # each time, so its cosine is identical — computing it inline lets
+    # the dedupe aggregate (query, id, cosine) fixed-width rows instead
+    # of carrying both embedding arrays through the exchange (~2·dim·8 B
+    # per candidate, and an array first() buffer = SortAggregate)
     cand = (
         emb_b.join(F.broadcast(q_b), on=["t", "bk"])
+        .select(query_id_col, id_col, cosine(vec_col, query_vec_col).alias("cosine"))
         .dropDuplicates([query_id_col, id_col])
-        .withColumn("cosine", cosine(vec_col, query_vec_col))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

@@ -68,7 +68,16 @@ def _props_map(mappings: dict[str, str]) -> F.Column:
 
 
 def build_nodes(sources: dict[str, DataFrame], rules: Iterable[NodeRule]) -> DataFrame:
-    """PASS 1: one projection per rule, unioned, LWW-deduped on node_id."""
+    """PASS 1: one projection per rule, unioned, LWW-deduped on node_id.
+
+    One aggregation does ALL the deduping (r8, guide §2.4): the final
+    cross-rule max_by collapses intra-rule duplicates exactly like the
+    per-rule ``dropDuplicates(["node_id"])`` each branch used to run —
+    same arbitrary-pick semantics for byte-identical duplicates, same
+    winner under the rank order otherwise — so the per-rule dedupes
+    were R extra exchanges (each a SortAggregate: the properties map is
+    a variable-width first() buffer) feeding an aggregation that
+    re-deduped anyway. The union now flows into a single exchange."""
     parts = []
     for rule_seq, rule in enumerate(sorted(rules, key=lambda r: r.priority)):
         df = sources[rule.source]
@@ -82,7 +91,7 @@ def build_nodes(sources: dict[str, DataFrame], rules: Iterable[NodeRule]) -> Dat
                 F.lit(rule.target_type).alias("node_type"),
                 _props_map(rule.field_mappings).alias("properties"),
                 F.lit(rule.priority * 1_000_000 + rule_seq).alias("__rank"),
-            ).dropDuplicates(["node_id"])
+            )
         )
     out = parts[0]
     for p in parts[1:]:
